@@ -1,0 +1,161 @@
+"""Configuration for the TPU-native VO engine.
+
+The reference scatters its configuration over compile-time constants, a
+runtime ``struct param`` (reference src/viso.h:58-72) and environment
+variables (src/kitti.cpp:96, src/calib_sfm.cpp:56).  Here every knob is a
+frozen dataclass field so configs are hashable and can be closed over by
+jit-compiled functions (static), while the calibration itself is a small
+pytree of arrays (traced).
+
+Defaults reproduce the reference behavior:
+  - stereo detector: 1200 corners, 24x5 bins, Harris k=.04, block 3,
+    aperture 5, descriptor radius 5    (src/viso.cpp:911-979, 1172-1174)
+  - stereo matching: radius 80, Sampson gate 1.0 for LR, ratio .9 for
+    temporal matches                    (src/viso.cpp:62-74)
+  - RANSAC: 50 iterations, inlier threshold 2 px, GN convergence 1e-4,
+    >=6 inliers required                (src/viso.h:60, src/viso.cpp:1571)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Calib:
+    """Rectified stereo calibration (reference ``param.calib`` + ``base``).
+
+    Derived from KITTI projection matrices exactly as the reference does
+    (src/viso.cpp:1183-1187): f = P1[0,0], cu = P1[0,2], cv = P1[1,2],
+    base = |P2[0,3] / P2[0,0]|.
+    """
+
+    f: float
+    cu: float
+    cv: float
+    base: float
+
+    @staticmethod
+    def from_projections(P1, P2) -> "Calib":
+        P1 = jnp.asarray(P1)
+        P2 = jnp.asarray(P2)
+        return Calib(
+            f=float(P1[0, 0]),
+            cu=float(P1[0, 2]),
+            cv=float(P1[1, 2]),
+            base=float(abs(P2[0, 3] / P2[0, 0])),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Harris binned detector + Sobel-patch descriptor configuration.
+
+    ``max_features`` is the target corner budget spread uniformly over
+    ``nbinx * nbiny`` spatial bins (reference keeps
+    ``max_features // (nbinx*nbiny)`` corners per bin, src/viso.cpp:944).
+    ``num_slots`` is the fixed keypoint tensor size (padded; multiple of 128
+    so descriptor matrices tile onto the MXU/VPU lanes).
+    """
+
+    max_features: int = 1200
+    nbinx: int = 24
+    nbiny: int = 5
+    harris_k: float = 0.04
+    block_size: int = 3
+    aperture: int = 5
+    descriptor_radius: int = 5
+    num_slots: int = 1280  # fixed keypoint tensor size (>= max_features)
+
+    @property
+    def corners_per_bin(self) -> int:
+        return self.max_features // (self.nbinx * self.nbiny)
+
+    @property
+    def descriptor_dim(self) -> int:
+        d = 2 * self.descriptor_radius + 1
+        return d * d
+
+    @property
+    def descriptor_dim_padded(self) -> int:
+        """Descriptor length padded to a multiple of 128 (TPU lane width)."""
+        return ((self.descriptor_dim + 127) // 128) * 128
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matcher configuration (reference MatchParams, viso.cpp:48-75).
+
+    The reference caps candidates at ``max_neighbors`` because its FLANN
+    radius search materializes a neighbor list; the dense TPU matcher scores
+    every candidate inside the radius, a strict superset (deliberate,
+    documented divergence — more candidates can only improve the best-match
+    search).
+    """
+
+    radius: float = 80.0  # L1 radius in pixels on keypoint positions
+    use_epipolar: bool = False
+    sampson_thresh: float = 1.0
+    use_ratio: bool = False
+    ratio: float = 0.9
+
+    @staticmethod
+    def stereo() -> "MatchConfig":
+        """LR match: epipolar-gated, no ratio test (viso.cpp:62-71)."""
+        return MatchConfig(use_epipolar=True, sampson_thresh=1.0,
+                           use_ratio=False, ratio=0.8, radius=80.0)
+
+    @staticmethod
+    def temporal() -> "MatchConfig":
+        """Frame-to-frame match: ratio .9, no epipolar gate (viso.cpp:72-74)."""
+        return MatchConfig(use_epipolar=False, use_ratio=True, ratio=0.9,
+                           radius=80.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """RANSAC + Gauss-Newton configuration (src/viso.h:60, viso.cpp:1543-1623).
+
+    All ``num_hypotheses`` models are estimated simultaneously as a vmapped
+    batch (SURVEY.md C11).  ``gn_iters`` bounds the inner Gauss-Newton loop;
+    the reference iterates up to 100 with early exit, we run a fixed-shape
+    ``lax.while_loop`` with the same bound.  The reference's convergence test
+    has a misplaced parenthesis (viso.cpp:1610) that makes it always
+    "converged" after one step whose update is finite; we implement the
+    intended test ``max_j |p_j| <= converge_thresh`` (deliberate divergence,
+    SURVEY.md §3.5).
+    """
+
+    num_hypotheses: int = 64
+    gn_iters: int = 100
+    inlier_threshold: float = 2.0
+    converge_thresh: float = 1e-4
+    min_inliers: int = 6
+    model_size: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level stereo odometry pipeline configuration."""
+
+    detector: DetectorConfig = DetectorConfig()
+    stereo_match: MatchConfig = MatchConfig.stereo()
+    temporal_match: MatchConfig = MatchConfig.temporal()
+    ransac: RansacConfig = RansacConfig()
+    min_circle_matches: int = 3  # frame skipped below this (viso.cpp:1283)
+    dtype: str = "float32"
+
+    @staticmethod
+    def mono() -> "PipelineConfig":
+        """Monocular SfM defaults (viso.cpp:1335-1337, 1365-1367)."""
+        return PipelineConfig(
+            detector=DetectorConfig(max_features=1500, descriptor_radius=9,
+                                    num_slots=1536),
+            stereo_match=MatchConfig(radius=10.0, use_epipolar=True,
+                                     sampson_thresh=1.0, use_ratio=True,
+                                     ratio=0.9),
+            temporal_match=MatchConfig(radius=10.0),
+        )

@@ -1,0 +1,94 @@
+"""Batched RANSAC pose estimation (SURVEY.md C11).
+
+Fixed-shape re-design of reference ``ransac_minimize_reproj``
+(src/viso.cpp:1543-1580): instead of 50 serial iterations, every hypothesis
+is a lane of a vmapped Gauss-Newton solve — sample, iterate, and score all
+models simultaneously.  Sampling replaces the reference's reservoir sampler
+(src/viso.cpp:87-107) with a Gumbel-top-k draw over the validity mask
+(statistically equivalent: a uniform random ``model_size``-subset of valid
+points).  Semantics preserved:
+
+  - models are fit from a zero initial motion on a 3-point sample,
+  - the support set is every point with unweighted squared reprojection
+    error < threshold^2 (src/viso.cpp:1525-1534),
+  - the best model is refit on its whole support set and re-scored,
+  - the estimate fails when the final support has < 6 points or either GN
+    solve diverges (src/viso.cpp:1571-1573).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libviso_tpu.config import Calib, RansacConfig
+from libviso_tpu.solvers.gauss_newton import (
+    gauss_newton,
+    reprojection_errors_sq,
+)
+
+
+class RansacPoseResult(NamedTuple):
+    tr: jax.Array            # (6,) best motion estimate
+    inliers: jax.Array       # (N,) bool final support set
+    num_inliers: jax.Array   # () int32
+    ok: jax.Array            # () bool — reference's boolean return value
+    best_hypothesis: jax.Array  # () int32 index (diagnostics)
+
+
+def ransac_pose(key, X, observe, valid, calib: Calib,
+                cfg: RansacConfig = RansacConfig()) -> RansacPoseResult:
+    """Estimate the 6-dof motion from 3D-to-stereo correspondences.
+
+    Args:
+      key: PRNG key (replaces the reference's mt19937; parity is statistical,
+        not bitwise — SURVEY.md §7 "PRNG parity").
+      X: (N, 3) previous-frame 3D points (padded slots allowed).
+      observe: (N, 4) current-frame stereo observations (u_l, v_l, u_r, v_r).
+      valid: (N,) bool mask of real correspondences.
+      calib, cfg: calibration / RANSAC configuration.
+    """
+    X = jnp.asarray(X)
+    observe = jnp.asarray(observe)
+    N = X.shape[0]
+    H = cfg.num_hypotheses
+    dtype = X.dtype
+
+    # --- sample: H x model_size distinct valid indices (Gumbel top-k) ---
+    gumbel = jax.random.gumbel(key, (H, N), dtype=dtype)
+    scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
+    _, sample_idx = jax.lax.top_k(scores, cfg.model_size)  # (H, k)
+
+    # --- fit: vmapped GN on the gathered minimal sets ---
+    Xs = X[sample_idx]                  # (H, k, 3)
+    obs_s = observe[sample_idx]         # (H, k, 4)
+    w_s = jnp.ones((H, cfg.model_size), dtype=dtype)
+    tr0 = jnp.zeros((H, 6), dtype=dtype)
+    fit = gauss_newton(Xs, obs_s, w_s, tr0, calib, cfg)
+
+    # --- score: unweighted reprojection error of every point under every
+    # hypothesis; one batched evaluation (H, N) ---
+    err2 = reprojection_errors_sq(fit.tr, X[None], observe[None], calib)
+    thr2 = cfg.inlier_threshold**2
+    inl = (err2 < thr2) & valid[None, :] & fit.converged[:, None]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+
+    # --- refit on the best support set (masked weights, full point set) ---
+    best_mask = inl[best]
+    refit = gauss_newton(X, observe, best_mask.astype(dtype),
+                         jnp.asarray(fit.tr[best]), calib, cfg)
+    err2_f = reprojection_errors_sq(refit.tr, X, observe, calib)
+    final_mask = (err2_f < thr2) & valid
+    n_final = jnp.sum(final_mask)
+
+    ok = (jnp.sum(best_mask) >= cfg.min_inliers) & refit.converged
+    return RansacPoseResult(
+        tr=refit.tr,
+        inliers=final_mask,
+        num_inliers=n_final,
+        ok=ok,
+        best_hypothesis=best,
+    )

@@ -1,0 +1,162 @@
+"""Geometry-core oracle tests.
+
+Ports the reference's disabled/unreachable test knowledge (SURVEY.md §4):
+  - F_from_P algebraic identity on the canonical camera pair
+    (reference src/mvg.cpp:73-89).
+  - projection <-> triangulation roundtrips (test/test.cpp:9-39).
+  - epipolar constraint x2' F x1 = 0 for projected points.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libviso_tpu.geometry import (
+    F_from_P,
+    F_from_P_host,
+    P_from_KRt,
+    algebraic_distance,
+    chain_motions,
+    e2h,
+    h2e,
+    invert_se3,
+    pose_vector_to_matrix,
+    project,
+    rotation_derivatives,
+    sampson_distance,
+    triangulate_dlt,
+    triangulate_rectified,
+    euler_to_rotation,
+)
+
+
+def kitti_like_projections():
+    """A KITTI-style rectified pair (f, cu, cv, baseline)."""
+    f, cu, cv, base = 718.856, 607.1928, 185.2157, 0.5371657
+    P1 = np.array([[f, 0, cu, 0], [0, f, cv, 0], [0, 0, 1, 0]])
+    P2 = P1.copy()
+    P2[0, 3] = -f * base
+    return jnp.array(P1), jnp.array(P2), (f, cu, cv, base)
+
+
+def test_e2h_h2e_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(7, 3)))
+    np.testing.assert_allclose(h2e(e2h(x)), x, rtol=1e-6)
+
+
+def test_f_from_p_canonical():
+    # Reference oracle: src/mvg.cpp:73-89.
+    P1 = jnp.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]])
+    P2 = jnp.array([[1.0, 0, 0, 1], [0, 1, 0, 0], [0, 0, 1, 0]])
+    F = F_from_P(P1, P2)
+    F_true = jnp.array([[0.0, 0, 0], [0, 0, 1], [0, -1, 0]])
+    np.testing.assert_allclose(F, F_true, atol=1e-7)
+
+
+def test_f_from_p_epipolar_constraint(rng):
+    # Setup-path F (host, float64): pixel-scale accuracy required since the
+    # matcher's Sampson gate uses threshold 1.0 (src/viso.cpp:63).
+    P1, P2, _ = kitti_like_projections()
+    F = jnp.asarray(F_from_P_host(np.asarray(P1), np.asarray(P2)),
+                    dtype=jnp.float32)
+    X = jnp.asarray(rng.uniform(0.5, 30.0, size=(50, 3)) * np.array([1, 1, 3]))
+    x1 = project(P1, X)
+    x2 = project(P2, X)
+    # F[2,2] is 0 for a rectified pair; normalize by max-abs for the test.
+    Fn = F / jnp.max(jnp.abs(F))
+    d = algebraic_distance(Fn, x1, x2)
+    np.testing.assert_allclose(d, 0.0, atol=1e-2)
+    s = sampson_distance(Fn, x1, x2)
+    np.testing.assert_allclose(s, 0.0, atol=1e-4)
+
+
+def test_f_from_p_host_matches_device_small_scale():
+    # The jittable 9-determinant form agrees with the host path when the
+    # camera entries are O(1) (no cancellation).
+    P1 = jnp.array([[1.0, 0, 0.5, 0], [0, 1, 0.2, 0], [0, 0, 1, 0]])
+    P2 = jnp.array([[1.0, 0.1, 0.5, 0.3], [0, 1, 0.2, 0.1], [0, 0.05, 1, 0]])
+    Fd = F_from_P(P1, P2)
+    Fh = F_from_P_host(np.asarray(P1), np.asarray(P2))
+    np.testing.assert_allclose(Fd / jnp.max(jnp.abs(Fd)),
+                               Fh / np.max(np.abs(Fh)), atol=1e-5)
+
+
+def test_p_from_krt():
+    K = jnp.array([[700.0, 0, 600], [0, 700, 180], [0, 0, 1]])
+    R = euler_to_rotation(jnp.array([0.01, -0.02, 0.03]))
+    t = jnp.array([0.5, -0.1, 0.2])
+    P = P_from_KRt(K, R, t)
+    np.testing.assert_allclose(P, K @ jnp.concatenate([R, t[:, None]], axis=1),
+                               rtol=1e-6)
+
+
+def test_triangulate_rectified_roundtrip(rng):
+    P1, P2, (f, cu, cv, base) = kitti_like_projections()
+    X = jnp.asarray(
+        np.stack([rng.uniform(-10, 10, 40), rng.uniform(-2, 2, 40),
+                  rng.uniform(4, 40, 40)], axis=-1))
+    x1 = project(P1, X)
+    x2 = project(P2, X)
+    obs = jnp.concatenate([x1, x2], axis=-1)
+    Xr = triangulate_rectified(obs, f, base, cu, cv)
+    np.testing.assert_allclose(Xr, X, rtol=1e-3, atol=1e-3)
+
+
+def test_triangulate_dlt_roundtrip(rng):
+    # Reference oracle pattern: test/test.cpp:9-39 (disabled test).
+    P1, P2, _ = kitti_like_projections()
+    X = jnp.asarray(
+        np.stack([rng.uniform(-10, 10, 25), rng.uniform(-2, 2, 25),
+                  rng.uniform(4, 40, 25)], axis=-1))
+    x1 = project(P1, X)
+    x2 = project(P2, X)
+    Xd = triangulate_dlt(x1, x2, P1, P2)
+    np.testing.assert_allclose(Xd, X, rtol=1e-2, atol=1e-2)
+
+
+def test_pose_vector_roundtrip():
+    tr = jnp.array([0.01, -0.02, 0.005, 0.3, -0.1, 1.2])
+    T = pose_vector_to_matrix(tr)
+    R = T[:3, :3]
+    np.testing.assert_allclose(R @ R.T, jnp.eye(3), atol=1e-6)
+    np.testing.assert_allclose(jnp.linalg.det(R), 1.0, atol=1e-6)
+    np.testing.assert_allclose(T[3], jnp.array([0, 0, 0, 1.0]), atol=0)
+    Tinv = invert_se3(T)
+    np.testing.assert_allclose(T @ Tinv, jnp.eye(4), atol=1e-6)
+
+
+def test_rotation_derivatives_match_autodiff():
+    r = jnp.array([0.07, -0.13, 0.21])
+    analytic = rotation_derivatives(r)
+    auto = jax.jacfwd(euler_to_rotation)(r)  # (3, 3, 3) with param axis last
+    np.testing.assert_allclose(analytic, jnp.moveaxis(auto, -1, 0), atol=1e-6)
+
+
+def test_chain_motions_matches_serial():
+    trs = jnp.array([
+        [0.0, 0, 0, 0, 0, 0],
+        [0.01, 0.0, 0.0, 0.0, 0.0, 0.8],
+        [0.0, 0.02, 0.0, 0.1, 0.0, 0.9],
+        [0.0, 0.0, -0.01, 0.0, 0.05, 1.1],
+    ])
+    Ts = pose_vector_to_matrix(trs)
+    valid = jnp.array([True, True, False, True])
+    poses = chain_motions(Ts, valid)
+    # serial reference: pose = pose @ inv(T) for valid frames
+    pose = jnp.eye(4)
+    expected = []
+    for i in range(4):
+        if valid[i]:
+            pose = pose @ jnp.linalg.inv(Ts[i])
+        expected.append(pose)
+    np.testing.assert_allclose(poses, jnp.stack(expected), atol=1e-5)
+
+
+def test_batched_f_from_p(rng):
+    P1, P2, _ = kitti_like_projections()
+    P1b = jnp.broadcast_to(P1, (4, 3, 4))
+    P2b = jnp.broadcast_to(P2, (4, 3, 4))
+    Fb = F_from_P(P1b, P2b)
+    assert Fb.shape == (4, 3, 3)
+    np.testing.assert_allclose(Fb[0], F_from_P(P1, P2), rtol=1e-6)
