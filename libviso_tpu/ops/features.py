@@ -1,0 +1,194 @@
+"""Harris-corner detection and Sobel-patch description (SURVEY.md C4, C5).
+
+Replaces the reference's OpenCV calls (``cv::cornerHarris``
+src/viso.cpp:930, ``cv::Sobel`` src/viso.cpp:1010) with XLA convolutions and
+the per-bin ``nth_element`` top-k scan (src/viso.cpp:947-974) with one
+``lax.top_k`` over reshaped bins — output is a fixed-size padded keypoint
+tensor with a validity mask, the shape contract every downstream op relies
+on (SURVEY.md §7 design stance).
+
+Semantics follow OpenCV exactly where the reference depends on them:
+  - Sobel kernels are the separable smooth x derivative pairs
+    ([1,2,1]/[-1,0,1] at ksize 3; [1,4,6,4,1]/[-1,-2,0,2,1] at ksize 5).
+  - Borders are BORDER_REFLECT_101 (numpy/jnp ``mode='reflect'``).
+  - cornerHarris on 8-bit input scales the derivatives by
+    1 / (2^(ksize-1) * block_size * 255) and box-filters the structure
+    tensor with an *unnormalized* block_size window.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libviso_tpu.config import DetectorConfig
+
+_SOBEL_SMOOTH = {3: (1.0, 2.0, 1.0), 5: (1.0, 4.0, 6.0, 4.0, 1.0)}
+_SOBEL_DERIV = {3: (-1.0, 0.0, 1.0), 5: (-1.0, -2.0, 0.0, 2.0, 1.0)}
+
+
+def _conv1d(img, kernel, axis):
+    """Correlate a (H, W) image with a 1-D kernel along ``axis``,
+    REFLECT_101 border."""
+    k = len(kernel)
+    r = k // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    padded = jnp.pad(img, pad, mode="reflect")
+    kshape = [1, 1]
+    kshape[axis] = k
+    kern = jnp.asarray(kernel, dtype=img.dtype).reshape(kshape)
+    out = jax.lax.conv_general_dilated(
+        padded[None, None], kern[None, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def sobel_derivatives(img, ksize=3, dx=True, scale=1.0):
+    """OpenCV-compatible Sobel derivative of a (H, W) image.
+
+    ``dx=True`` gives d/dx (horizontal derivative — the descriptor's source
+    signal, src/viso.cpp:1010), else d/dy.  Correlation (not convolution)
+    ordering matches OpenCV's filter2D semantics; these kernels are
+    symmetric/antisymmetric so only the derivative axis sign matters and it
+    matches.
+    """
+    smooth = _SOBEL_SMOOTH[ksize]
+    deriv = _SOBEL_DERIV[ksize]
+    if dx:
+        out = _conv1d(_conv1d(img, deriv, axis=1), smooth, axis=0)
+    else:
+        out = _conv1d(_conv1d(img, deriv, axis=0), smooth, axis=1)
+    if scale != 1.0:
+        out = out * jnp.asarray(scale, img.dtype)
+    return out
+
+
+def _box_sum(img, block_size):
+    """Unnormalized box filter (OpenCV boxFilter normalize=false)."""
+    ones = (1.0,) * block_size
+    return _conv1d(_conv1d(img, ones, axis=0), ones, axis=1)
+
+
+def harris_response(img, block_size=3, aperture=5, k=0.04,
+                    input_is_8bit=True):
+    """Harris corner response, cv::cornerHarris semantics.
+
+    M = box_sum(block) of [Dx^2, DxDy; DxDy, Dy^2];
+    R = det(M) - k * trace(M)^2   (src/viso.cpp:929-931).
+
+    Args:
+      img: (H, W) float image with 0..255 range (KITTI 8-bit grayscale).
+      input_is_8bit: include OpenCV's /255 in the derivative scale.
+    """
+    scale = 1.0 / ((1 << (aperture - 1)) * block_size)
+    if input_is_8bit:
+        scale /= 255.0
+    dx = sobel_derivatives(img, ksize=aperture, dx=True, scale=scale)
+    dy = sobel_derivatives(img, ksize=aperture, dx=False, scale=scale)
+    sxx = _box_sum(dx * dx, block_size)
+    sxy = _box_sum(dx * dy, block_size)
+    syy = _box_sum(dy * dy, block_size)
+    det = sxx * syy - sxy * sxy
+    trace = sxx + syy
+    return det - k * trace * trace
+
+
+class Keypoints(NamedTuple):
+    """Fixed-size keypoint tensor (padded; ``valid`` marks real corners)."""
+
+    xy: jax.Array        # (num_slots, 2) float32 pixel coordinates (x, y)
+    response: jax.Array  # (num_slots,) |Harris response|
+    valid: jax.Array     # (num_slots,) bool
+
+
+def detect_harris_binned(img, cfg: DetectorConfig = DetectorConfig(),
+                         zero_eps=1e-30) -> Keypoints:
+    """Spatially-uniform Harris corners: per-bin top-k of |response|.
+
+    The reference grids the image into nbinx x nbiny bins with strides
+    floor(W/nbinx), floor(H/nbiny) — pixels beyond ``nbin*stride`` on the
+    right/bottom edge are never visited (src/viso.cpp:933-953); zero
+    responses are skipped (src/viso.cpp:956); each bin keeps its
+    ``max_features/(nbinx*nbiny)`` largest |response| corners via
+    nth_element (src/viso.cpp:961-963).  Here: crop, reshape to bins, one
+    ``lax.top_k`` per bin — all bins in parallel.
+
+    Returns ``cfg.num_slots`` slots; slots beyond the detected corners have
+    ``valid=False`` and coordinates (0, 0).
+    """
+    img = jnp.asarray(img)
+    H, W = img.shape
+    resp = harris_response(img, cfg.block_size, cfg.aperture, cfg.harris_k)
+    sy, sx = H // cfg.nbiny, W // cfg.nbinx
+    k = cfg.corners_per_bin
+
+    a = jnp.abs(resp[: cfg.nbiny * sy, : cfg.nbinx * sx])
+    bins = a.reshape(cfg.nbiny, sy, cfg.nbinx, sx)
+    bins = bins.transpose(0, 2, 1, 3).reshape(cfg.nbiny * cfg.nbinx, sy * sx)
+    vals, flat_idx = jax.lax.top_k(bins, k)  # (nbins, k)
+
+    by = jnp.arange(cfg.nbiny * cfg.nbinx) // cfg.nbinx
+    bx = jnp.arange(cfg.nbiny * cfg.nbinx) % cfg.nbinx
+    y = by[:, None] * sy + flat_idx // sx
+    x = bx[:, None] * sx + flat_idx % sx
+
+    xy = jnp.stack([x, y], axis=-1).reshape(-1, 2).astype(img.dtype)
+    response = vals.reshape(-1)
+    valid = response > zero_eps
+
+    n = cfg.nbiny * cfg.nbinx * k
+    pad = cfg.num_slots - n
+    if pad < 0:
+        raise ValueError(
+            f"num_slots={cfg.num_slots} < detected budget {n}")
+    xy = jnp.pad(xy, ((0, pad), (0, 0)))
+    response = jnp.pad(response, (0, pad))
+    valid = jnp.pad(valid, (0, pad))
+    xy = jnp.where(valid[:, None], xy, 0.0)
+    return Keypoints(xy=xy, response=response, valid=valid)
+
+
+def extract_descriptors(img, kp: Keypoints,
+                        cfg: DetectorConfig = DetectorConfig()):
+    """Sobel-patch descriptors: raw (2r+1)^2 window of the horizontal
+    Sobel response around each keypoint, zeros outside the image
+    (src/viso.cpp:1004-1024); L1 is the match metric (src/viso.cpp:989-992).
+
+    The reference's bounds test uses ``> 0`` (excluding row/column 0,
+    src/viso.cpp:1018); we use ``>= 0`` — zero-padding the Sobel image makes
+    the gather branch-free and the difference only affects descriptors
+    whose window touches the first row/column.  Deliberate divergence.
+
+    Returns (num_slots, descriptor_dim_padded) float; invalid slots are 0.
+    The tail pad (121 -> 128) is zero so L1/L2 distances are unaffected but
+    rows tile the 128-wide VPU lanes exactly.
+    """
+    img = jnp.asarray(img)
+    r = cfg.descriptor_radius
+    d = 2 * r + 1
+    sob = sobel_derivatives(img, ksize=3, dx=True, scale=1.0)
+    padded = jnp.pad(sob, ((r, r), (r, r)))  # zeros outside the image
+
+    def gather_patch(xy):
+        x = xy[0].astype(jnp.int32)
+        y = xy[1].astype(jnp.int32)
+        patch = jax.lax.dynamic_slice(padded, (y, x), (d, d))
+        return patch.reshape(-1)
+
+    desc = jax.vmap(gather_patch)(kp.xy)  # (num_slots, d*d)
+    pad = cfg.descriptor_dim_padded - desc.shape[-1]
+    desc = jnp.pad(desc, ((0, 0), (0, pad)))
+    return jnp.where(kp.valid[:, None], desc, 0.0)
+
+
+def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig()):
+    """Detector + descriptor in one call (shared by both pipeline views)."""
+    kp = detect_harris_binned(img, cfg)
+    desc = extract_descriptors(img, kp, cfg)
+    return kp, desc

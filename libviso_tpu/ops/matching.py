@@ -1,0 +1,119 @@
+"""Dense gated descriptor matching (SURVEY.md C6).
+
+The reference's ``match_desc`` (src/viso.cpp:668-726) is a per-keypoint
+FLANN *linear* L1 radius search over keypoint positions followed by a scalar
+scan over neighbors: Sampson epipolar gate, L1 descriptor distance,
+best/2nd-best tracking, optional Lowe ratio test.  That control flow is
+hostile to TPUs; a brute-force masked (N1 x N2) score matrix is not — it is
+a dense, fixed-shape, perfectly tileable computation (SURVEY.md §3.4).
+
+Semantics preserved: a keypoint in view 1 matches its minimum-L1-descriptor
+neighbor among view-2 keypoints within an L1 *position* radius
+(cvflann::L1 over (x, y), radius 80), subject to the Sampson gate
+(<= thresh, non-finite rejected) and the ratio test
+(best < second_best * ratio).  Deliberate divergences (documented):
+  - every in-radius candidate is scored — the reference truncates the FLANN
+    neighbor list at max_neighbors=200/250 in index order
+    (src/viso.cpp:62-74), an arbitrary subset when more are in range;
+  - the reference's neighbor scan stops at the first index <= 0, which also
+    drops keypoint 0 as a candidate (``nind>0`` at src/viso.cpp:692-693);
+  - exact distance ties keep the first index (the reference keeps the last,
+    src/viso.cpp:703).
+
+The descriptor-distance inner loop has an XLA path (chunked, fusion-
+friendly) and a Pallas path (tiled VMEM kernel, see ops/pallas_matching.py)
+selected by ``backend``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from libviso_tpu.config import MatchConfig
+from libviso_tpu.geometry.mvg import sampson_distance
+from libviso_tpu.ops.features import Keypoints
+
+
+class MatchResult(NamedTuple):
+    """Per-slot matches: view-1 slot i -> view-2 slot ``idx[i]``."""
+
+    idx: jax.Array    # (N1,) int32, -1 where unmatched
+    dist: jax.Array   # (N1,) float, L1 descriptor distance (inf if none)
+    valid: jax.Array  # (N1,) bool
+
+
+def _l1_desc_dist_xla(d1, d2, row_chunk=128):
+    """Chunked all-pairs L1 descriptor distance: (N1, D) x (N2, D) -> (N1, N2).
+
+    Row-chunked so the (chunk, N2, D) broadcast stays small enough for XLA
+    to fuse without an O(N1*N2*D) materialization.
+    """
+    N1 = d1.shape[0]
+    assert N1 % row_chunk == 0, (N1, row_chunk)
+
+    def body(d1_block):
+        return jnp.sum(jnp.abs(d1_block[:, None, :] - d2[None, :, :]), axis=-1)
+
+    blocks = d1.reshape(N1 // row_chunk, row_chunk, d1.shape[1])
+    return jax.lax.map(body, blocks).reshape(N1, d2.shape[0])
+
+
+def l1_descriptor_distances(d1, d2, backend="xla"):
+    """All-pairs L1 descriptor distance matrix."""
+    if backend == "pallas":
+        from libviso_tpu.ops.pallas_matching import l1_distance_matrix
+        return l1_distance_matrix(d1, d2)
+    return _l1_desc_dist_xla(d1, d2)
+
+
+def match_descriptors(kp1: Keypoints, d1, kp2: Keypoints, d2,
+                      cfg: MatchConfig = MatchConfig(),
+                      F=None, backend="xla") -> MatchResult:
+    """Match view-1 keypoints to view-2 keypoints (one match per slot).
+
+    Args:
+      kp1, kp2: fixed-size keypoint tensors.
+      d1, d2: (N, D) descriptor tensors (zero rows on invalid slots).
+      cfg: gates/thresholds; ``cfg.use_epipolar`` requires ``F``.
+      F: (3, 3) fundamental matrix with x2' F x1 = 0 for x1 in view 1
+        (the pipeline passes points as (p1=kp1, p2=kp2) exactly like the
+        reference's sampsonDistance(F, p1, p2) call, src/viso.cpp:698).
+      backend: 'xla' or 'pallas' for the descriptor-distance inner loop.
+    """
+    pos1 = kp1.xy
+    pos2 = kp2.xy
+    big = jnp.asarray(jnp.inf, dtype=d1.dtype)
+
+    # Position gate: L1 radius on pixel coordinates (cvflann::L1, strict <).
+    pos_l1 = (jnp.abs(pos1[:, None, 0] - pos2[None, :, 0])
+              + jnp.abs(pos1[:, None, 1] - pos2[None, :, 1]))
+    ok = pos_l1 < cfg.radius
+    ok &= kp1.valid[:, None] & kp2.valid[None, :]
+
+    if cfg.use_epipolar:
+        if F is None:
+            raise ValueError("epipolar gating requires F")
+        s = sampson_distance(F, pos1[:, None, :], pos2[None, :, :])
+        ok &= jnp.isfinite(s) & (s <= cfg.sampson_thresh)
+
+    dd = l1_descriptor_distances(d1, d2, backend=backend)
+    dd = jnp.where(ok, dd, big)
+
+    best_idx = jnp.argmin(dd, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(dd, best_idx[:, None], axis=1)[:, 0]
+    # Second best: mask the winner out, take the min of the rest.
+    cols = jnp.arange(dd.shape[1], dtype=jnp.int32)
+    dd2 = jnp.where(cols[None, :] == best_idx[:, None], big, dd)
+    second = jnp.min(dd2, axis=1)
+
+    valid = jnp.isfinite(best) & kp1.valid
+    if cfg.use_ratio:
+        valid &= best < second * cfg.ratio
+
+    idx = jnp.where(valid, best_idx, -1)
+    dist = jnp.where(valid, best, big)
+    return MatchResult(idx=idx, dist=dist, valid=valid)

@@ -1,0 +1,152 @@
+"""Feature front-end golden tests against OpenCV semantics.
+
+SURVEY.md §7 stage 3 requires golden-testing the Harris/Sobel kernels
+against the OpenCV behavior the reference relies on (border modes matter:
+REFLECT_101, src/viso.cpp:1010).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libviso_tpu.config import DetectorConfig
+from libviso_tpu.ops import (
+    detect_and_describe,
+    detect_harris_binned,
+    extract_descriptors,
+    harris_response,
+    sobel_derivatives,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def make_image(rng, h=96, w=200):
+    return rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+
+
+def test_sobel3_matches_opencv(rng):
+    img = make_image(rng)
+    ours = np.asarray(sobel_derivatives(jnp.asarray(img, jnp.float32),
+                                        ksize=3, dx=True))
+    ref = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3,
+                    borderType=cv2.BORDER_REFLECT_101)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_sobel5_matches_opencv(rng):
+    img = make_image(rng)
+    ours = np.asarray(sobel_derivatives(jnp.asarray(img, jnp.float32),
+                                        ksize=5, dx=False))
+    ref = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=5,
+                    borderType=cv2.BORDER_REFLECT_101)
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
+def test_harris_matches_opencv(rng):
+    img = make_image(rng)
+    ours = np.asarray(harris_response(jnp.asarray(img, jnp.float32),
+                                      block_size=3, aperture=5, k=0.04))
+    ref = cv2.cornerHarris(img, blockSize=3, ksize=5, k=0.04)
+    np.testing.assert_allclose(ours, ref, atol=2e-7)
+
+
+def numpy_binned_topk(resp, cfg):
+    """Mirror of the reference detector loop (src/viso.cpp:947-974)."""
+    H, W = resp.shape
+    sy, sx = H // cfg.nbiny, W // cfg.nbinx
+    out = []
+    for by in range(cfg.nbiny):
+        for bx in range(cfg.nbinx):
+            block = np.abs(resp[by * sy:(by + 1) * sy, bx * sx:(bx + 1) * sx])
+            vals = block.reshape(-1)
+            keep = min(cfg.corners_per_bin, vals.size)
+            sel = np.argsort(vals)[::-1][:keep]
+            sel = [s for s in sel if vals[s] > 0]
+            out.append(np.sort(vals[sel])[::-1])
+    return out
+
+
+def test_detect_binned_topk_values(rng):
+    img = make_image(rng, h=100, w=240)
+    cfg = DetectorConfig(max_features=240, nbinx=8, nbiny=3, num_slots=256)
+    kp = detect_harris_binned(jnp.asarray(img, jnp.float32), cfg)
+    resp = cv2.cornerHarris(img, 3, 5, 0.04)
+    expected_bins = numpy_binned_topk(resp, cfg)
+
+    xy = np.asarray(kp.xy)
+    vals = np.asarray(kp.response)
+    valid = np.asarray(kp.valid)
+    k = cfg.corners_per_bin
+    nb = cfg.nbinx * cfg.nbiny
+    got = vals[: nb * k].reshape(nb, k)
+    gvalid = valid[: nb * k].reshape(nb, k)
+    for b in range(nb):
+        g = np.sort(got[b][gvalid[b]])[::-1]
+        e = expected_bins[b][: len(g) + 1]
+        np.testing.assert_allclose(g, e[: len(g)], rtol=1e-4)
+        assert len(e) == len(g)  # same number of kept corners
+
+    # keypoint coordinates carry their own response value
+    sy, sx = img.shape[0] // cfg.nbiny, img.shape[1] // cfg.nbinx
+    for i in np.nonzero(valid)[0][:50]:
+        x, y = int(xy[i, 0]), int(xy[i, 1])
+        np.testing.assert_allclose(abs(resp[y, x]), vals[i], rtol=1e-4)
+
+
+def test_detector_budget_and_padding(rng):
+    img = make_image(rng, h=96, w=192)
+    cfg = DetectorConfig(max_features=120, nbinx=6, nbiny=4, num_slots=128)
+    kp = detect_harris_binned(jnp.asarray(img, jnp.float32), cfg)
+    assert kp.xy.shape == (128, 2)
+    assert int(jnp.sum(kp.valid)) <= 120
+    # padded slots are zeroed
+    assert not bool(jnp.any(kp.valid[120:]))
+    np.testing.assert_array_equal(np.asarray(kp.xy[120:]), 0)
+
+
+def numpy_descriptor(img, xy, radius):
+    """Mirror of MyFeatureExtractor::computeImpl (src/viso.cpp:1004-1024),
+    with the >=0 bounds fix documented in ops/features.py."""
+    sob = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3,
+                    borderType=cv2.BORDER_REFLECT_101)
+    H, W = img.shape
+    d = np.zeros((len(xy), (2 * radius + 1) ** 2), np.float32)
+    for k, (x, y) in enumerate(xy):
+        col = 0
+        for i in range(-radius, radius + 1):
+            for j in range(-radius, radius + 1):
+                yy, xx = int(y) + i, int(x) + j
+                if 0 <= yy < H and 0 <= xx < W:
+                    d[k, col] = sob[yy, xx]
+                col += 1
+    return d
+
+
+def test_descriptors_match_reference_semantics(rng):
+    img = make_image(rng, h=64, w=128)
+    cfg = DetectorConfig(max_features=40, nbinx=4, nbiny=2, num_slots=128,
+                         descriptor_radius=5)
+    kp, desc = detect_and_describe(jnp.asarray(img, jnp.float32), cfg)
+    valid = np.asarray(kp.valid)
+    xy = np.asarray(kp.xy)[valid]
+    expected = numpy_descriptor(img, xy, cfg.descriptor_radius)
+    got = np.asarray(desc)[valid]
+    np.testing.assert_allclose(got[:, :121], expected, atol=1e-3)
+    # zero tail pad and zero invalid rows
+    np.testing.assert_array_equal(got[:, 121:], 0)
+    np.testing.assert_array_equal(np.asarray(desc)[~valid], 0)
+
+
+def test_descriptor_border_keypoint(rng):
+    img = make_image(rng, h=32, w=64)
+    cfg = DetectorConfig(descriptor_radius=5, num_slots=128)
+    from libviso_tpu.ops.features import Keypoints
+    xy = jnp.zeros((128, 2), jnp.float32)
+    xy = xy.at[0].set(jnp.array([0.0, 0.0]))       # corner pixel
+    xy = xy.at[1].set(jnp.array([63.0, 31.0]))     # far corner
+    valid = jnp.zeros(128, bool).at[0].set(True).at[1].set(True)
+    kp = Keypoints(xy=xy, response=jnp.ones(128), valid=valid)
+    desc = extract_descriptors(jnp.asarray(img, jnp.float32), kp, cfg)
+    expected = numpy_descriptor(img, [(0, 0), (63, 31)], 5)
+    np.testing.assert_allclose(np.asarray(desc)[:2, :121], expected, atol=1e-3)
