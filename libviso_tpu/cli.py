@@ -1,0 +1,136 @@
+"""Command-line drivers (SURVEY.md C1, C3 driver glue).
+
+Python analog of the reference executables:
+
+  kitti driver (src/kitti.cpp:79-118):
+    python -m libviso_tpu.cli kitti RESULT_SHA SEQ [BEGIN END]
+      --kitti-home $KITTI_HOME (env fallback, same as the reference)
+    reads sequences/<seq>/calib.txt + image_{0,1}/%06d.png, runs stereo
+    odometry, writes results/<seq>/<sha>/data/<seq>.txt in devkit format.
+
+  mono driver (src/calib_sfm.cpp:53-67):
+    python -m libviso_tpu.cli mono --image-mask 'img-%04d.jpg' --calib ...
+
+  synthetic smoke run:
+    python -m libviso_tpu.cli synth --frames 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_kitti(args):
+    import jax
+
+    from libviso_tpu.config import PipelineConfig
+    from libviso_tpu.io.kitti import (
+        StereoImageStream,
+        kitti_sequence_paths,
+        load_calib,
+        save_poses_kitti,
+    )
+    from libviso_tpu.pipeline import run_stereo_sequence
+    from libviso_tpu.utils.metrics import MetricsLogger
+
+    kitti_home = args.kitti_home or os.environ.get("KITTI_HOME")
+    if not kitti_home:
+        sys.exit("KITTI_HOME not set (flag --kitti-home or env)")
+    paths = kitti_sequence_paths(kitti_home, args.seq)
+    P1, P2 = load_calib(paths["calib"])
+    stream = StereoImageStream(
+        os.path.join(paths["image_0"], "%06d.png"),
+        os.path.join(paths["image_1"], "%06d.png"),
+        begin=args.begin, end=args.end,
+    )
+    result_dir = os.path.join(kitti_home, "results", args.seq,
+                              args.result_sha)
+    os.makedirs(result_dir, exist_ok=True)
+
+    cfg = PipelineConfig()
+    t0 = time.perf_counter()
+    with MetricsLogger(os.path.join(result_dir, "metrics.jsonl")) as ml:
+        res = run_stereo_sequence(
+            stream, P1, P2, cfg, seed=args.seed, backend=args.backend,
+            on_frame=None)
+        for s in res.stats:
+            ml.log(s)
+    dt = time.perf_counter() - t0
+
+    # Reference pose list semantics: identity first, then per-frame poses.
+    poses_path = os.path.join(result_dir, "data", f"{args.seq}.txt")
+    save_poses_kitti(poses_path, res.poses)
+    n = len(res.poses)
+    print(json.dumps({
+        "sequence": args.seq, "frames": n,
+        "solved": int(res.frame_ok.sum()),
+        "fps": n / dt if dt > 0 else None,
+        "poses": poses_path,
+    }))
+
+
+def _cmd_synth(args):
+    from libviso_tpu.config import PipelineConfig
+    from libviso_tpu.pipeline import run_stereo_sequence
+    from libviso_tpu.synthetic import generate_sequence
+    from libviso_tpu.utils.metrics import ate_rmse, rpe_errors
+
+    seq = generate_sequence(num_frames=args.frames, seed=args.seed)
+    t0 = time.perf_counter()
+    res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, PipelineConfig(),
+                              seed=args.seed, backend=args.backend)
+    dt = time.perf_counter() - t0
+    terr, rerr = rpe_errors(res.poses, seq.gt_poses)
+    print(json.dumps({
+        "frames": args.frames,
+        "solved": int(res.frame_ok.sum()),
+        "ate_rmse_m": ate_rmse(res.poses, seq.gt_poses),
+        "rpe_trans_mean_m": float(terr.mean()),
+        "rpe_rot_mean_rad": float(rerr.mean()),
+        "fps": args.frames / dt,
+    }))
+
+
+def _cmd_mono(args):
+    from libviso_tpu.pipeline.mono import run_mono_sequence  # noqa: F401
+
+    sys.exit("mono pipeline CLI: see libviso_tpu/pipeline/mono.py")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="libviso_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    k = sub.add_parser("kitti", help="KITTI stereo odometry (kitti.cpp analog)")
+    k.add_argument("result_sha")
+    k.add_argument("seq")
+    k.add_argument("begin", nargs="?", type=int, default=0)
+    k.add_argument("end", nargs="?", type=int, default=None)
+    k.add_argument("--kitti-home")
+    k.add_argument("--seed", type=int, default=0)
+    k.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    k.set_defaults(fn=_cmd_kitti)
+
+    s = sub.add_parser("synth", help="synthetic-sequence smoke run")
+    s.add_argument("--frames", type=int, default=20)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    s.set_defaults(fn=_cmd_synth)
+
+    m = sub.add_parser("mono", help="monocular SfM (calib_sfm.cpp analog)")
+    m.add_argument("--image-mask")
+    m.add_argument("--calib")
+    m.set_defaults(fn=_cmd_mono)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,7 @@
 from libviso_tpu.geometry.se3 import (
     euler_to_rotation,
     pose_vector_to_matrix,
+    matrix_to_pose_vector,
     rotation_derivatives,
     invert_se3,
     chain_motions,
@@ -29,6 +30,7 @@ from libviso_tpu.geometry.procrustes import (
 __all__ = [
     "euler_to_rotation",
     "pose_vector_to_matrix",
+    "matrix_to_pose_vector",
     "rotation_derivatives",
     "invert_se3",
     "chain_motions",

@@ -46,6 +46,23 @@ def pose_vector_to_matrix(tr):
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def matrix_to_pose_vector(T):
+    """Inverse of ``pose_vector_to_matrix``: 4x4 rigid transform -> 6-vector.
+
+    Recovers (rx, ry, rz) from the Euler-XYZ layout of ``tr2mat``
+    (R[0,2]=sin ry; R[1,2]=-sin rx cos ry; R[0,1]=-cos ry sin rz) plus the
+    translation.  Valid away from the ry = +-pi/2 gimbal lock — per-frame VO
+    motions are far from it.  Batched over leading dims.
+    """
+    T = jnp.asarray(T)
+    R = T[..., :3, :3]
+    ry = jnp.arcsin(jnp.clip(R[..., 0, 2], -1.0, 1.0))
+    rx = jnp.arctan2(-R[..., 1, 2], R[..., 2, 2])
+    rz = jnp.arctan2(-R[..., 0, 1], R[..., 0, 0])
+    return jnp.concatenate(
+        [jnp.stack([rx, ry, rz], axis=-1), T[..., :3, 3]], axis=-1)
+
+
 def rotation_derivatives(r):
     """dR/drx, dR/dry, dR/drz for the Euler-XYZ rotation.
 

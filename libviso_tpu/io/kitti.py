@@ -1,0 +1,123 @@
+"""KITTI odometry dataset I/O (SURVEY.md C1, C16).
+
+Host-side analogs of the reference's ``loadCalib`` (src/kitti.cpp:23-46),
+``savePoses`` (src/kitti.cpp:49-64) and the lazy ``StereoImageGenerator``
+(src/viso.h:81-101).  Images are decoded with PIL on the host and handed to
+the device as float32 arrays; the stream supports a simple read-ahead so
+decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import queue
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def load_calib(path: str):
+    """Parse a KITTI ``calib.txt`` into (P1, P2) float64 3x4 matrices.
+
+    The reference reads the first two ``P<n>:`` rows (src/kitti.cpp:30-43);
+    for KITTI those are P0 (left gray) and P1 (right gray).
+    """
+    mats = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or not parts[0].startswith("P"):
+                continue
+            vals = [float(v) for v in parts[1:13]]
+            mats.append(np.array(vals, dtype=np.float64).reshape(3, 4))
+            if len(mats) == 2:
+                break
+    if len(mats) < 2:
+        raise ValueError(f"calib file {path!r} has fewer than two P rows")
+    return mats[0], mats[1]
+
+
+def save_poses_kitti(path: str, poses):
+    """Write poses in KITTI devkit format: 12 row-major values of the top
+    3x4 block per line (src/kitti.cpp:49-64)."""
+    poses = np.asarray(poses)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for T in poses:
+            f.write(" ".join(f"{v:.6e}" for v in T[:3, :4].reshape(-1)))
+            f.write("\n")
+
+
+def load_poses_kitti(path: str) -> np.ndarray:
+    """Read a KITTI-format pose file into (T, 4, 4)."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    T = np.tile(np.eye(4), (len(rows), 1, 1))
+    T[:, :3, :4] = rows
+    return T
+
+
+def _read_gray(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L"), dtype=np.float32)
+
+
+def kitti_sequence_paths(kitti_home: str, seq: str):
+    """Directory layout of the reference driver (src/kitti.cpp:98-110)."""
+    base = os.path.join(kitti_home, "sequences", seq)
+    return {
+        "calib": os.path.join(base, "calib.txt"),
+        "image_0": os.path.join(base, "image_0"),
+        "image_1": os.path.join(base, "image_1"),
+    }
+
+
+class StereoImageStream:
+    """Lazy stereo pair stream with background read-ahead.
+
+    Mirrors StereoImageGenerator (src/viso.h:81-101): two printf-style
+    masks formatted with a frame index, iteration ends at ``end`` or the
+    first missing file.  ``prefetch`` decodes ahead on a worker thread so
+    host I/O overlaps device compute (the reference is fully synchronous).
+    """
+
+    def __init__(self, mask_left: str, mask_right: str, begin: int = 0,
+                 end: Optional[int] = None, prefetch: int = 4):
+        self.mask_left = mask_left
+        self.mask_right = mask_right
+        self.begin = begin
+        self.end = end
+        self.prefetch = prefetch
+
+    def _frames(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        i = self.begin
+        while self.end is None or i <= self.end:
+            left, right = self.mask_left % i, self.mask_right % i
+            if not (os.path.exists(left) and os.path.exists(right)):
+                return
+            yield _read_gray(left), _read_gray(right)
+            i += 1
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._frames()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        done = object()
+
+        def worker():
+            try:
+                for item in self._frames():
+                    q.put(item)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            yield item

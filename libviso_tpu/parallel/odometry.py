@@ -1,0 +1,160 @@
+"""Sequence-sharded stereo odometry (SURVEY.md P1, P2).
+
+The reference processes frames strictly serially on one core
+(src/viso.cpp:1205).  The only true sequential dependency is the shared
+previous-frame features — a 1-frame halo.  So the TPU design:
+
+  1. split the sequence into overlapping chunks (overlap = 1 frame),
+  2. shard chunks across the ``data`` mesh axis,
+  3. run the jit-compiled per-frame step as a ``lax.scan`` inside each
+     chunk (vmapped over the chunk axis),
+  4. compose per-frame motions into global poses with one associative scan
+     across the flattened timeline — O(log T) collective depth over ICI.
+
+Everything from detection to the pose chain is a single jit graph; XLA
+partitions it over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
+from libviso_tpu.pipeline.stereo import build_frame_step, empty_state
+
+
+def chunk_frames_with_halo(frames_left, frames_right, n_chunks):
+    """Split (T, H, W) image stacks into overlapping chunks.
+
+    Chunk b covers global frames [b*(L-1), b*(L-1) + L - 1] where
+    L = ceil((T - 1) / n_chunks) + 1: consecutive chunks share one frame so
+    every global frame transition is interior to exactly one chunk.  The
+    tail is padded by repeating the last frame (padded transitions produce
+    identity motions that are masked out when stitching).
+
+    Returns (left (B, L, H, W), right (B, L, H, W), n_valid_motions (B,)).
+    """
+    frames_left = np.asarray(frames_left)
+    frames_right = np.asarray(frames_right)
+    T = frames_left.shape[0]
+    steps = T - 1  # number of motions
+    per = -(-steps // n_chunks)  # ceil
+    L = per + 1
+    lefts, rights, nvalid = [], [], []
+    for b in range(n_chunks):
+        s = b * per
+        e = min(s + L, T)
+        chunk_l = frames_left[s:e]
+        chunk_r = frames_right[s:e]
+        pad = L - chunk_l.shape[0]
+        if pad > 0:
+            chunk_l = np.concatenate([chunk_l, np.repeat(chunk_l[-1:], pad, 0)])
+            chunk_r = np.concatenate([chunk_r, np.repeat(chunk_r[-1:], pad, 0)])
+        lefts.append(chunk_l)
+        rights.append(chunk_r)
+        nvalid.append(max(0, min(steps - s, per)))
+    return (np.stack(lefts), np.stack(rights),
+            np.asarray(nvalid, np.int32))
+
+
+def build_chunk_odometry(calib: Calib, F, cfg: PipelineConfig,
+                         backend: str = "xla"):
+    """Per-chunk odometry: scan the frame step over a chunk's frames.
+
+    Returns chunk_fn(ims1 (L,H,W), ims2 (L,H,W), key) ->
+    (motions (L, 6), ok (L,)) where index t holds the motion from frame
+    t-1 to t (index 0 is invalid — the chunk's halo frame).
+    """
+    step = build_frame_step(calib, F, cfg, backend=backend)
+
+    def chunk_fn(ims1, ims2, key):
+        L = ims1.shape[0]
+        keys = jax.random.split(key, L)
+
+        def body(state, inp):
+            im1, im2, k = inp
+            state, out = step(state, im1, im2, k)
+            return state, (out.tr, out.ok)
+
+        _, (trs, oks) = jax.lax.scan(body, empty_state(cfg),
+                                     (ims1, ims2, keys))
+        oks = oks.at[0].set(False)  # no previous frame for the halo frame
+        return trs, oks
+
+    return chunk_fn
+
+
+def stitch_chunk_motions(trs, oks, n_valid):
+    """Flatten chunked motions into a global pose trajectory.
+
+    Args:
+      trs: (B, L, 6) per-chunk motions (slot 0 = halo, ignored).
+      oks: (B, L) solver success flags.
+      n_valid: (B,) real (non-padding) motion count per chunk.
+
+    Returns (T, 4, 4) poses for the T = 1 + sum(n_valid) global frames,
+    composed with one associative scan.
+    """
+    B, L = trs.shape[:2]
+    local = jnp.arange(1, L)
+    motions = trs[:, 1:].reshape(B * (L - 1), 6)
+    valid = (oks[:, 1:] & (local[None, :] <= n_valid[:, None])).reshape(-1)
+    pad_mask = (local[None, :] <= n_valid[:, None]).reshape(-1)
+    Ts = pose_vector_to_matrix(motions)
+    poses_all = chain_motions(Ts, valid)
+    # keep identity pose for frame 0 + the real (non-padding) frames
+    eye = jnp.eye(4, dtype=poses_all.dtype)[None]
+    poses_full = jnp.concatenate([eye, poses_all], axis=0)
+    keep = jnp.concatenate([jnp.ones((1,), bool), pad_mask])
+    return poses_full, keep
+
+
+def run_sharded_odometry(mesh: Mesh, P1, P2, frames_left, frames_right,
+                         cfg: PipelineConfig = PipelineConfig(),
+                         seed: int = 0, backend: str = "xla"):
+    """Full sharded odometry: chunk, shard over 'data', solve, stitch.
+
+    One jit-compiled program: per-chunk scans run data-parallel across the
+    mesh; the final pose chain is an associative scan whose cross-chunk
+    products XLA lowers to ICI collectives.
+
+    Args:
+      mesh: mesh with a 'data' axis.
+      P1, P2: 3x4 projections.
+      frames_left/right: (T, H, W) full sequence image stacks (host).
+
+    Returns (poses (T, 4, 4) np.ndarray, per-frame validity mask).
+    """
+    from libviso_tpu.geometry.mvg import F_from_P_host
+
+    calib = Calib.from_projections(P1, P2)
+    F = F_from_P_host(P1, P2)
+    n_chunks = mesh.shape["data"]
+    ims1, ims2, n_valid = chunk_frames_with_halo(frames_left, frames_right,
+                                                 n_chunks)
+    chunk_fn = build_chunk_odometry(calib, F, cfg, backend=backend)
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+
+    @jax.jit
+    def program(ims1, ims2, n_valid, key):
+        keys = jax.random.split(key, ims1.shape[0])
+        trs, oks = jax.vmap(chunk_fn)(ims1, ims2, keys)
+        return stitch_chunk_motions(trs, oks, n_valid)
+
+    ims1 = jax.device_put(jnp.asarray(ims1, jnp.float32), data_sharding)
+    ims2 = jax.device_put(jnp.asarray(ims2, jnp.float32), data_sharding)
+    n_valid = jax.device_put(jnp.asarray(n_valid), data_sharding)
+    key = jax.device_put(jax.random.PRNGKey(seed), replicated)
+
+    poses_full, keep = program(ims1, ims2, n_valid, key)
+    poses_full = np.asarray(poses_full)
+    keep = np.asarray(keep)
+    return poses_full[keep], keep

@@ -1,0 +1,205 @@
+"""Stereo visual odometry pipeline (SURVEY.md C2).
+
+The reference's frame loop (``sequence_odometry``, src/viso.cpp:1167-1330):
+
+  detect -> describe -> LR match (epipolar-gated) -> triangulate ->
+  temporal matches -> circular consistency -> RANSAC+GN pose ->
+  pose = pose * Tr^-1
+
+re-designed TPU-first: the entire per-frame computation from detection
+through the RANSAC refit is ONE jit-compiled, fixed-shape graph
+(``build_frame_step``).  Keypoints are padded slot tensors, matches are
+index tables with -1 sentinels, "skip this frame" (src/viso.cpp:1283-1288,
+1322-1324) is a per-frame validity flag, and the previous-frame state the
+C++ keeps in mutable locals (src/viso.cpp:1208-1222) is an explicit pytree
+threaded through the loop.
+
+The host loop only feeds images and collects 6-dof motions; global poses
+are composed afterwards with an associative scan (geometry/se3.py) so the
+same step also batches/shards over sequence chunks (parallel/odometry.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.geometry.mvg import F_from_P_host
+from libviso_tpu.geometry.se3 import chain_motions
+from libviso_tpu.geometry.triangulate import triangulate_rectified
+from libviso_tpu.ops.circle import circle_filter
+from libviso_tpu.ops.features import Keypoints, detect_and_describe
+from libviso_tpu.ops.matching import match_descriptors
+from libviso_tpu.solvers.ransac import ransac_pose
+
+
+class FrameState(NamedTuple):
+    """Previous-frame memory carried across steps (viso.cpp:1192-1201)."""
+
+    kp1: Keypoints   # left keypoints
+    kp2: Keypoints   # right keypoints
+    d1: jax.Array    # (N, D) left descriptors
+    d2: jax.Array    # (N, D) right descriptors
+    match_lr: jax.Array  # (N,) int32 left-slot -> right-slot
+    X: jax.Array     # (N, 3) triangulated 3D per left slot
+    X_valid: jax.Array  # (N,) bool
+
+
+class FrameOutput(NamedTuple):
+    tr: jax.Array           # (6,) motion previous -> current
+    ok: jax.Array           # () bool — pose accepted
+    num_circle: jax.Array   # () int32 circular matches
+    num_inliers: jax.Array  # () int32 RANSAC support size
+    num_lr: jax.Array       # () int32 stereo matches
+    num_kp1: jax.Array      # () int32 detected left corners
+
+
+def empty_state(cfg: PipelineConfig, dtype=jnp.float32) -> FrameState:
+    """All-invalid state for the first frame (``first`` flag analog)."""
+    n = cfg.detector.num_slots
+    d = cfg.detector.descriptor_dim_padded
+    kp = Keypoints(
+        xy=jnp.zeros((n, 2), dtype),
+        response=jnp.zeros((n,), dtype),
+        valid=jnp.zeros((n,), bool),
+    )
+    return FrameState(
+        kp1=kp, kp2=kp,
+        d1=jnp.zeros((n, d), dtype), d2=jnp.zeros((n, d), dtype),
+        match_lr=jnp.full((n,), -1, jnp.int32),
+        X=jnp.zeros((n, 3), dtype),
+        X_valid=jnp.zeros((n,), bool),
+    )
+
+
+def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
+                     backend: str = "xla"):
+    """Build the jit-compiled per-frame VO step.
+
+    Args:
+      calib: rectified stereo calibration.
+      F: (3, 3) fundamental matrix for the LR epipolar gate (computed once
+        per sequence on the host in f64 — see F_from_P_host).
+      cfg: pipeline configuration (static).
+      backend: descriptor-distance backend ('xla' | 'pallas').
+
+    Returns:
+      step(state, im1, im2, key) -> (new_state, FrameOutput), jittable.
+    """
+    F = jnp.asarray(F)
+
+    def step(state: FrameState, im1, im2, key):
+        kp1, d1 = detect_and_describe(im1, cfg.detector)
+        kp2, d2 = detect_and_describe(im2, cfg.detector)
+
+        # Stereo match with epipolar gate (viso.cpp:1240).
+        mlr = match_descriptors(kp1, d1, kp2, d2, cfg.stereo_match, F=F,
+                                backend=backend)
+
+        # Per-left-slot observations (u_l, v_l, u_r, v_r) and 3D points
+        # (collect_matches + triangulate_rectified, viso.cpp:1246-1247).
+        r_safe = jnp.clip(mlr.idx, 0, cfg.detector.num_slots - 1)
+        obs = jnp.concatenate([kp1.xy, kp2.xy[r_safe]], axis=-1)
+        X = triangulate_rectified(obs, calib.f, calib.base, calib.cu,
+                                  calib.cv)
+
+        # Temporal matches against the previous frame (viso.cpp:1264, 1275).
+        m11 = match_descriptors(kp1, d1, state.kp1, state.d1,
+                                cfg.temporal_match, backend=backend)
+        m22 = match_descriptors(kp2, d2, state.kp2, state.d2,
+                                cfg.temporal_match, backend=backend)
+
+        # Circular consistency (viso.cpp:1282).
+        circ = circle_filter(mlr.idx, state.match_lr, m11.idx, m22.idx)
+
+        # Gather previous-frame 3D + current observations (viso.cpp:1292-1305).
+        lp_safe = jnp.clip(circ.left_prev, 0, cfg.detector.num_slots - 1)
+        Xp = state.X[lp_safe]
+        pts_valid = circ.valid & state.X_valid[lp_safe] & mlr.valid
+
+        rk, = jax.random.split(key, 1)
+        est = ransac_pose(rk, Xp, obs, pts_valid, calib, cfg.ransac)
+
+        ok = est.ok & (circ.count >= cfg.min_circle_matches)
+        tr = jnp.where(ok, est.tr, jnp.zeros_like(est.tr))
+
+        new_state = FrameState(
+            kp1=kp1, kp2=kp2, d1=d1, d2=d2,
+            match_lr=mlr.idx, X=X, X_valid=mlr.valid,
+        )
+        out = FrameOutput(
+            tr=tr, ok=ok,
+            num_circle=circ.count,
+            num_inliers=est.num_inliers,
+            num_lr=jnp.sum(mlr.valid.astype(jnp.int32)),
+            num_kp1=jnp.sum(kp1.valid.astype(jnp.int32)),
+        )
+        return new_state, out
+
+    return step
+
+
+@dataclasses.dataclass
+class SequenceResult:
+    poses: np.ndarray        # (T, 4, 4) cumulative poses (frame 0 = I)
+    motions: np.ndarray      # (T, 6) per-frame motion vectors
+    frame_ok: np.ndarray     # (T,) bool
+    stats: list              # per-frame dicts (match counts etc.)
+
+
+def run_stereo_sequence(frames: Iterable, P1, P2,
+                        cfg: PipelineConfig = PipelineConfig(),
+                        seed: int = 0, backend: str = "xla",
+                        on_frame=None) -> SequenceResult:
+    """Host driver: stream stereo pairs through the jitted step.
+
+    The analog of the reference `sequence_odometry` loop + the `kitti`
+    driver glue (src/kitti.cpp:111-116): calibration is derived from P1/P2
+    exactly as viso.cpp:1183-1187, F from F_from_P (viso.cpp:1176-1180).
+
+    Args:
+      frames: iterable of (im_left, im_right) uint8/float arrays (H, W).
+      P1, P2: 3x4 rectified projection matrices.
+      on_frame: optional callback(frame_index, FrameOutput) for metrics.
+    """
+    calib = Calib.from_projections(P1, P2)
+    F = F_from_P_host(P1, P2)
+    step = jax.jit(build_frame_step(calib, F, cfg, backend=backend))
+    key = jax.random.PRNGKey(seed)
+
+    state = empty_state(cfg)
+    motions, oks, stats = [], [], []
+    for t, (im1, im2) in enumerate(frames):
+        im1 = jnp.asarray(im1, jnp.float32)
+        im2 = jnp.asarray(im2, jnp.float32)
+        state, out = step(state, im1, im2, jax.random.fold_in(key, t))
+        first = t == 0  # reference skips the first frame (viso.cpp:1256)
+        ok = bool(out.ok) and not first
+        motions.append(np.asarray(out.tr))
+        oks.append(ok)
+        stats.append({
+            "frame": t,
+            "ok": ok,
+            "num_kp1": int(out.num_kp1),
+            "num_lr": int(out.num_lr),
+            "num_circle": int(out.num_circle),
+            "num_inliers": int(out.num_inliers),
+        })
+        if on_frame is not None:
+            on_frame(t, out)
+
+    motions = np.stack(motions) if motions else np.zeros((0, 6))
+    oks_arr = np.asarray(oks, bool)
+    if len(motions):
+        from libviso_tpu.geometry.se3 import pose_vector_to_matrix
+        Ts = pose_vector_to_matrix(jnp.asarray(motions))
+        poses = np.asarray(chain_motions(Ts, jnp.asarray(oks_arr)))
+    else:
+        poses = np.zeros((0, 4, 4))
+    return SequenceResult(poses=poses, motions=motions, frame_ok=oks_arr,
+                          stats=stats)

@@ -1,0 +1,114 @@
+"""Trajectory evaluation (ATE/RPE) and structured per-frame metrics.
+
+The reference never evaluates its trajectories (it writes KITTI devkit
+format and defers to the external devkit, src/kitti.cpp:49-64,100);
+BASELINE.md requires ATE/RPE in-repo, so the build provides them.  Logging
+follows SURVEY.md §5.5: structured per-frame metrics to JSONL instead of
+Boost.Log text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import IO, Optional
+
+import numpy as np
+
+
+def ate_rmse(poses_est, poses_gt) -> float:
+    """Absolute trajectory error: RMSE of translation differences.
+
+    Both trajectories must share the origin convention (frame 0 identity) —
+    no alignment is applied, matching how the reference's output would be
+    compared against KITTI ground truth.
+    """
+    est = np.asarray(poses_est)[:, :3, 3]
+    gt = np.asarray(poses_gt)[:, :3, 3]
+    assert est.shape == gt.shape, (est.shape, gt.shape)
+    return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=-1))))
+
+
+def rpe_errors(poses_est, poses_gt, delta: int = 1):
+    """Relative pose error over a frame gap ``delta``.
+
+    Returns (trans_errors, rot_errors) arrays: per-step translation error
+    magnitude [m] and rotation angle error [rad].
+    """
+    est = np.asarray(poses_est)
+    gt = np.asarray(poses_gt)
+    T = len(est)
+    terr, rerr = [], []
+    for i in range(T - delta):
+        d_est = np.linalg.inv(est[i]) @ est[i + delta]
+        d_gt = np.linalg.inv(gt[i]) @ gt[i + delta]
+        e = np.linalg.inv(d_gt) @ d_est
+        terr.append(np.linalg.norm(e[:3, 3]))
+        c = (np.trace(e[:3, :3]) - 1.0) / 2.0
+        rerr.append(float(np.arccos(np.clip(c, -1.0, 1.0))))
+    return np.asarray(terr), np.asarray(rerr)
+
+
+def kitti_trajectory_errors(poses_est, poses_gt, lengths=(100, 200, 300, 400,
+                                                          500, 600, 700, 800)):
+    """KITTI devkit-style averaged translational/rotational errors.
+
+    For each start frame and each path length, find the frame reaching that
+    driven distance in the ground truth and measure the relative-pose error
+    normalized by length.  Returns dict with percent translation error and
+    rot error [deg/m], averaged over all (start, length) pairs in range.
+    """
+    est = np.asarray(poses_est)
+    gt = np.asarray(poses_gt)
+    # cumulative driven distance along ground truth
+    step = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1)
+    dist = np.concatenate([[0.0], np.cumsum(step)])
+    t_errs, r_errs = [], []
+    for first in range(0, len(gt), 10):
+        for length in lengths:
+            target = dist[first] + length
+            later = np.nonzero(dist >= target)[0]
+            if len(later) == 0:
+                continue
+            last = int(later[0])
+            d_est = np.linalg.inv(est[first]) @ est[last]
+            d_gt = np.linalg.inv(gt[first]) @ gt[last]
+            e = np.linalg.inv(d_gt) @ d_est
+            t_errs.append(np.linalg.norm(e[:3, 3]) / length)
+            c = (np.trace(e[:3, :3]) - 1.0) / 2.0
+            r_errs.append(np.degrees(np.arccos(np.clip(c, -1, 1))) / length)
+    if not t_errs:
+        return {"t_err_pct": float("nan"), "r_err_deg_per_m": float("nan"),
+                "num_segments": 0}
+    return {
+        "t_err_pct": float(np.mean(t_errs) * 100.0),
+        "r_err_deg_per_m": float(np.mean(r_errs)),
+        "num_segments": len(t_errs),
+    }
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics sink (SURVEY.md §5.5)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._fh: Optional[IO] = None
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._fh = open(path, "a")
+
+    def log(self, record: dict):
+        if self._fh:
+            self._fh.write(json.dumps(record) + "\n")
+            self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,77 @@
+"""End-to-end stereo VO on a synthetic ground-truth sequence.
+
+The moving-camera generalization of the reference's synthetic-roundtrip
+oracle (test/test.cpp:51-114): render landmarks through a known trajectory,
+run the full image pipeline, and require the recovered trajectory to track
+ground truth.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libviso_tpu.config import (
+    DetectorConfig,
+    PipelineConfig,
+    RansacConfig,
+)
+from libviso_tpu.pipeline import run_stereo_sequence
+from libviso_tpu.synthetic import generate_sequence
+from libviso_tpu.utils.metrics import ate_rmse, rpe_errors
+
+
+def small_config():
+    # Reduced budgets keep the CPU test fast while exercising every stage.
+    return PipelineConfig(
+        detector=DetectorConfig(max_features=480, nbinx=8, nbiny=4,
+                                num_slots=512),
+        ransac=RansacConfig(num_hypotheses=32, gn_iters=50),
+    )
+
+
+@pytest.fixture(scope="module")
+def synthetic_run():
+    seq = generate_sequence(num_frames=8, num_points=500, seed=3,
+                            width=416, height=160, speed=0.7)
+    result = run_stereo_sequence(seq.frames, seq.P1, seq.P2, small_config(),
+                                 seed=0)
+    return seq, result
+
+
+def test_pipeline_recovers_trajectory(synthetic_run):
+    seq, result = synthetic_run
+    # every frame after the first should solve
+    assert result.frame_ok[1:].all(), result.stats
+    ate = ate_rmse(result.poses, seq.gt_poses)
+    # ~5m driven; sub-decimeter tracking expected on clean synthetic data
+    assert ate < 0.1, (ate, result.stats)
+
+
+def test_pipeline_motion_vectors(synthetic_run):
+    seq, result = synthetic_run
+    # landmarks render at integer pixels (no subpixel), so ~0.5px
+    # quantization bounds per-frame accuracy at a few cm
+    np.testing.assert_allclose(result.motions[1:], seq.gt_motions[1:],
+                               atol=0.05)
+
+
+def test_pipeline_rpe(synthetic_run):
+    seq, result = synthetic_run
+    terr, rerr = rpe_errors(result.poses, seq.gt_poses)
+    assert terr.mean() < 0.05
+    assert rerr.mean() < 0.01
+
+
+def test_pipeline_stats_sane(synthetic_run):
+    seq, result = synthetic_run
+    for s in result.stats[1:]:
+        assert s["num_kp1"] > 100
+        assert s["num_lr"] > 50
+        assert s["num_circle"] >= 10
+        assert s["num_inliers"] >= 6
+
+
+def test_first_frame_is_identity(synthetic_run):
+    seq, result = synthetic_run
+    np.testing.assert_allclose(result.poses[0], np.eye(4), atol=1e-6)
+    assert not result.frame_ok[0]
