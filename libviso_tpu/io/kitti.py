@@ -61,7 +61,8 @@ def _read_gray(path: str) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("L"), dtype=np.float32)
+        # uint8 end-to-end: the device casts; f32 would quadruple transfer
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def kitti_sequence_paths(kitti_home: str, seq: str):

@@ -197,7 +197,14 @@ def extract_descriptors(img, kp: Keypoints,
 
 
 def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig()):
-    """Detector + descriptor in one call (shared by both pipeline views)."""
+    """Detector + descriptor in one call (shared by both pipeline views).
+
+    Accepts uint8 images (preferred: 4x less host->device traffic than
+    f32) and casts on-device.
+    """
+    img = jnp.asarray(img)
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32)
     kp = detect_harris_binned(img, cfg)
     desc = extract_descriptors(img, kp, cfg)
     return kp, desc

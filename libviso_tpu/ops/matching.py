@@ -62,8 +62,27 @@ def _l1_desc_dist_xla(d1, d2, row_chunk=128):
     return jax.lax.map(body, blocks).reshape(N1, d2.shape[0])
 
 
-def l1_descriptor_distances(d1, d2, backend="xla"):
-    """All-pairs L1 descriptor distance matrix."""
+def _l2sq_desc_dist(d1, d2):
+    """All-pairs squared-L2 distance via the matmul identity (MXU path).
+
+    ||a - b||^2 = ||a||^2 + ||b||^2 - 2 a.b — the (N1, D) x (D, N2)
+    contraction runs on the systolic array instead of the VPU.  Clamped at
+    zero (cancellation can drive tiny distances slightly negative).
+    """
+    cross = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+    n1 = jnp.sum(d1 * d1, axis=-1)
+    n2 = jnp.sum(d2 * d2, axis=-1)
+    sq = jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0)
+    # true L2 (not squared) so the Lowe ratio test keeps its usual scale
+    return jnp.sqrt(sq)
+
+
+def descriptor_distances(d1, d2, metric="l1", backend="xla"):
+    """All-pairs descriptor distance matrix under the configured metric."""
+    if metric == "l2":
+        return _l2sq_desc_dist(d1, d2)
+    if metric != "l1":
+        raise ValueError(f"unknown metric {metric!r}")
     if backend == "pallas":
         from libviso_tpu.ops.pallas_matching import l1_distance_matrix
         return l1_distance_matrix(d1, d2)
@@ -100,7 +119,7 @@ def match_descriptors(kp1: Keypoints, d1, kp2: Keypoints, d2,
         s = sampson_distance(F, pos1[:, None, :], pos2[None, :, :])
         ok &= jnp.isfinite(s) & (s <= cfg.sampson_thresh)
 
-    dd = l1_descriptor_distances(d1, d2, backend=backend)
+    dd = descriptor_distances(d1, d2, metric=cfg.metric, backend=backend)
     dd = jnp.where(ok, dd, big)
 
     best_idx = jnp.argmin(dd, axis=1).astype(jnp.int32)

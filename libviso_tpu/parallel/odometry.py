@@ -26,7 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from libviso_tpu.config import Calib, PipelineConfig
 from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
-from libviso_tpu.pipeline.stereo import build_frame_step, empty_state
 
 
 def chunk_frames_with_halo(frames_left, frames_right, n_chunks):
@@ -65,27 +64,23 @@ def chunk_frames_with_halo(frames_left, frames_right, n_chunks):
 
 def build_chunk_odometry(calib: Calib, F, cfg: PipelineConfig,
                          backend: str = "xla"):
-    """Per-chunk odometry: scan the frame step over a chunk's frames.
+    """Per-chunk odometry over a chunk's frames (frame-batched).
 
     Returns chunk_fn(ims1 (L,H,W), ims2 (L,H,W), key) ->
     (motions (L, 6), ok (L,)) where index t holds the motion from frame
     t-1 to t (index 0 is invalid — the chunk's halo frame).
+
+    Uses the frame-batched pipeline (pipeline/batched.py): all detection,
+    matching and RANSAC work inside a chunk runs as one vmapped graph —
+    the serial scan would leave the chip idle between tiny per-frame ops.
     """
-    step = build_frame_step(calib, F, cfg, backend=backend)
+    from libviso_tpu.pipeline.batched import build_batched_odometry
+
+    batched = build_batched_odometry(calib, F, cfg, backend=backend)
 
     def chunk_fn(ims1, ims2, key):
-        L = ims1.shape[0]
-        keys = jax.random.split(key, L)
-
-        def body(state, inp):
-            im1, im2, k = inp
-            state, out = step(state, im1, im2, k)
-            return state, (out.tr, out.ok)
-
-        _, (trs, oks) = jax.lax.scan(body, empty_state(cfg),
-                                     (ims1, ims2, keys))
-        oks = oks.at[0].set(False)  # no previous frame for the halo frame
-        return trs, oks
+        out = batched(ims1, ims2, key)
+        return out.motions, out.ok
 
     return chunk_fn
 

@@ -7,6 +7,10 @@ from libviso_tpu.pipeline.stereo import (
     build_frame_step,
     run_stereo_sequence,
 )
+from libviso_tpu.pipeline.batched import (
+    BatchedOutput,
+    build_batched_odometry,
+)
 
 __all__ = [
     "FrameState",
@@ -14,4 +18,6 @@ __all__ = [
     "empty_state",
     "build_frame_step",
     "run_stereo_sequence",
+    "BatchedOutput",
+    "build_batched_odometry",
 ]

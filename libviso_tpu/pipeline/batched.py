@@ -1,0 +1,106 @@
+"""Frame-batched stereo odometry (SURVEY.md P2).
+
+The reference's frame loop is serial (src/viso.cpp:1205), but the only true
+sequential dependency in stereo VO is the final pose chain — detection,
+description, stereo matching, *and* the temporal matching between
+consecutive frames are all independent computations once the image stack is
+in memory.  This module processes a whole (T, H, W) window of frames as one
+batched jit graph:
+
+  - detect/describe: vmap over 2T images,
+  - stereo matches + triangulation: vmap over T frames,
+  - temporal matches/circle/RANSAC: vmap over the T-1 transitions
+    (features of frame t matched against frame t-1 by offset slicing),
+  - pose chain: associative scan (O(log T) depth).
+
+This is the throughput mode (bench.py, sequence-sharded odometry); the
+streaming mode in pipeline/stereo.py serves the online/latency case.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.geometry.triangulate import triangulate_rectified
+from libviso_tpu.ops.circle import circle_filter
+from libviso_tpu.ops.features import detect_and_describe
+from libviso_tpu.ops.matching import match_descriptors
+from libviso_tpu.solvers.ransac import ransac_pose
+
+
+class BatchedOutput(NamedTuple):
+    motions: jax.Array      # (T, 6): motion t-1 -> t; row 0 is zeros
+    ok: jax.Array           # (T,) bool; row 0 False
+    num_circle: jax.Array   # (T,) int32
+    num_inliers: jax.Array  # (T,) int32
+    num_lr: jax.Array       # (T,) int32
+
+
+def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
+                           backend: str = "xla"):
+    """Build fn(ims1 (T,H,W), ims2 (T,H,W), key) -> BatchedOutput (jittable)."""
+    F = jnp.asarray(F)
+    n_slots = cfg.detector.num_slots
+
+    def detect(im):
+        return detect_and_describe(im, cfg.detector)
+
+    def stereo_match(kp1, d1, kp2, d2):
+        return match_descriptors(kp1, d1, kp2, d2, cfg.stereo_match, F=F,
+                                 backend=backend)
+
+    def temporal_match(kp, d, kp_prev, d_prev):
+        return match_descriptors(kp, d, kp_prev, d_prev, cfg.temporal_match,
+                                 backend=backend)
+
+    def fn(ims1, ims2, key):
+        T = ims1.shape[0]
+        kp1, d1 = jax.vmap(detect)(ims1)
+        kp2, d2 = jax.vmap(detect)(ims2)
+
+        mlr = jax.vmap(stereo_match)(kp1, d1, kp2, d2)
+        r_safe = jnp.clip(mlr.idx, 0, n_slots - 1)
+        obs = jnp.concatenate(
+            [kp1.xy, jnp.take_along_axis(kp2.xy, r_safe[..., None], axis=1)],
+            axis=-1)  # (T, N, 4)
+        X = triangulate_rectified(obs, calib.f, calib.base, calib.cu,
+                                  calib.cv)
+
+        cur = jax.tree_util.tree_map(lambda x: x[1:], (kp1, d1, kp2, d2))
+        prev = jax.tree_util.tree_map(lambda x: x[:-1], (kp1, d1, kp2, d2))
+        m11 = jax.vmap(temporal_match)(cur[0], cur[1], prev[0], prev[1])
+        m22 = jax.vmap(temporal_match)(cur[2], cur[3], prev[2], prev[3])
+
+        circ = jax.vmap(circle_filter)(mlr.idx[1:], mlr.idx[:-1],
+                                       m11.idx, m22.idx)
+
+        lp_safe = jnp.clip(circ.left_prev, 0, n_slots - 1)
+        Xp = jnp.take_along_axis(X[:-1], lp_safe[..., None], axis=1)
+        prev_valid = jnp.take_along_axis(mlr.valid[:-1], lp_safe, axis=1)
+        pts_valid = circ.valid & prev_valid & mlr.valid[1:]
+
+        keys = jax.random.split(key, T - 1)
+        est = jax.vmap(
+            lambda k, Xp_t, obs_t, v_t: ransac_pose(
+                k, Xp_t, obs_t, v_t, calib, cfg.ransac)
+        )(keys, Xp, obs[1:], pts_valid)
+
+        ok_t = est.ok & (circ.count >= cfg.min_circle_matches)
+        tr_t = jnp.where(ok_t[:, None], est.tr, 0.0)
+
+        zeros6 = jnp.zeros((1, 6), tr_t.dtype)
+        return BatchedOutput(
+            motions=jnp.concatenate([zeros6, tr_t], axis=0),
+            ok=jnp.concatenate([jnp.zeros((1,), bool), ok_t]),
+            num_circle=jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), circ.count]),
+            num_inliers=jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), est.num_inliers]),
+            num_lr=jnp.sum(mlr.valid.astype(jnp.int32), axis=1),
+        )
+
+    return fn

@@ -175,8 +175,10 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
     state = empty_state(cfg)
     motions, oks, stats = [], [], []
     for t, (im1, im2) in enumerate(frames):
-        im1 = jnp.asarray(im1, jnp.float32)
-        im2 = jnp.asarray(im2, jnp.float32)
+        # ship uint8 when possible (4x less host->device traffic); the
+        # detector casts on-device
+        im1 = jnp.asarray(im1)
+        im2 = jnp.asarray(im2)
         state, out = step(state, im1, im2, jax.random.fold_in(key, t))
         first = t == 0  # reference skips the first frame (viso.cpp:1256)
         ok = bool(out.ok) and not first

@@ -1,0 +1,57 @@
+"""Frame-batched pipeline vs streaming pipeline consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libviso_tpu.config import Calib, DetectorConfig, PipelineConfig, RansacConfig
+from libviso_tpu.geometry.mvg import F_from_P_host
+from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
+from libviso_tpu.pipeline import build_batched_odometry, run_stereo_sequence
+from libviso_tpu.synthetic import generate_sequence
+from libviso_tpu.utils.metrics import ate_rmse
+
+
+def tiny_config():
+    return PipelineConfig(
+        detector=DetectorConfig(max_features=240, nbinx=8, nbiny=3,
+                                num_slots=256),
+        ransac=RansacConfig(num_hypotheses=32, gn_iters=50),
+    )
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return generate_sequence(num_frames=7, num_points=400, seed=11,
+                             width=320, height=120, speed=0.5, f=280.0)
+
+
+def run_batched(seq, cfg):
+    calib = Calib.from_projections(seq.P1, seq.P2)
+    F = F_from_P_host(seq.P1, seq.P2)
+    fn = jax.jit(build_batched_odometry(calib, F, cfg))
+    left = jnp.asarray(np.stack([f[0] for f in seq.frames]), jnp.float32)
+    right = jnp.asarray(np.stack([f[1] for f in seq.frames]), jnp.float32)
+    return fn(left, right, jax.random.PRNGKey(0))
+
+
+def test_batched_matches_streaming(seq):
+    cfg = tiny_config()
+    out = run_batched(seq, cfg)
+    assert bool(jnp.all(out.ok[1:]))
+    serial = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg, seed=0)
+    # identical deterministic front-end; RANSAC keys differ -> trajectory-level
+    poses = np.asarray(chain_motions(pose_vector_to_matrix(out.motions),
+                                     out.ok))
+    assert ate_rmse(poses, serial.poses) < 0.05
+    assert ate_rmse(poses, seq.gt_poses) < 0.12
+
+
+def test_batched_l2_metric(seq):
+    cfg = tiny_config().with_metric("l2")
+    out = run_batched(seq, cfg)
+    assert bool(jnp.all(out.ok[1:]))
+    poses = np.asarray(chain_motions(pose_vector_to_matrix(out.motions),
+                                     out.ok))
+    assert ate_rmse(poses, seq.gt_poses) < 0.12

