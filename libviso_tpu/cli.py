@@ -98,9 +98,45 @@ def _cmd_synth(args):
 
 
 def _cmd_mono(args):
-    from libviso_tpu.pipeline.mono import run_mono_sequence  # noqa: F401
+    """Monocular SfM driver (calib_sfm.cpp analog).
 
-    sys.exit("mono pipeline CLI: see libviso_tpu/pipeline/mono.py")
+    Reads a 3x3 K from a text file (3 rows of 3 floats, or a KITTI-style
+    P0 row of which the left 3x3 is used) and a printf-style image mask.
+    """
+    from PIL import Image
+
+    from libviso_tpu.pipeline.mono import run_mono_sequence
+
+    vals = np.loadtxt(args.calib, dtype=np.float64)
+    if vals.size == 12:
+        K = vals.reshape(3, 4)[:, :3]
+    else:
+        K = vals.reshape(3, 3)
+
+    def frames():
+        i = args.begin
+        while args.end is None or i <= args.end:
+            path = args.image_mask % i
+            if not os.path.exists(path):
+                return
+            with Image.open(path) as im:
+                yield np.asarray(im.convert("L"), dtype=np.uint8)
+            i += 1
+
+    t0 = time.perf_counter()
+    res = run_mono_sequence(frames(), K, seed=args.seed)
+    dt = time.perf_counter() - t0
+    if args.out:
+        from libviso_tpu.io.kitti import save_poses_kitti
+        save_poses_kitti(args.out, res.poses)
+    n = len(res.poses)
+    print(json.dumps({
+        "frames": n,
+        "solved": int(res.frame_ok.sum()),
+        "fps": n / dt if dt else None,
+        "poses": args.out,
+        "note": "monocular poses are scale-ambiguous (unit-norm steps)",
+    }))
 
 
 def main(argv=None):
@@ -124,8 +160,13 @@ def main(argv=None):
     s.set_defaults(fn=_cmd_synth)
 
     m = sub.add_parser("mono", help="monocular SfM (calib_sfm.cpp analog)")
-    m.add_argument("--image-mask")
-    m.add_argument("--calib")
+    m.add_argument("--image-mask", required=True,
+                   help="printf-style mask, e.g. img-%%04d.jpg")
+    m.add_argument("--calib", required=True, help="3x3 K text file")
+    m.add_argument("--begin", type=int, default=0)
+    m.add_argument("--end", type=int, default=None)
+    m.add_argument("--out", help="KITTI-format pose output path")
+    m.add_argument("--seed", type=int, default=0)
     m.set_defaults(fn=_cmd_mono)
 
     args = p.parse_args(argv)

@@ -26,6 +26,13 @@ from libviso_tpu.geometry.procrustes import (
     solve_rigid_motion,
     ransac_rigid_motion,
 )
+from libviso_tpu.geometry.essential import (
+    normalize_points,
+    eight_point_E,
+    decompose_E,
+    recover_pose,
+    ransac_essential,
+)
 
 __all__ = [
     "euler_to_rotation",
@@ -46,4 +53,9 @@ __all__ = [
     "triangulate_dlt",
     "solve_rigid_motion",
     "ransac_rigid_motion",
+    "normalize_points",
+    "eight_point_E",
+    "decompose_E",
+    "recover_pose",
+    "ransac_essential",
 ]

@@ -1,0 +1,95 @@
+"""Essential-matrix estimation and pose recovery oracle tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libviso_tpu.geometry.essential import (
+    decompose_E,
+    eight_point_E,
+    normalize_points,
+    ransac_essential,
+    recover_pose,
+)
+from libviso_tpu.geometry.mvg import sampson_distance
+from libviso_tpu.geometry.se3 import euler_to_rotation
+
+
+def make_mono_problem(rng, n=100, noise=0.0):
+    """Known (R, t): x2 ~ R x1 + t in normalized coordinates."""
+    R = euler_to_rotation(jnp.array([0.03, -0.05, 0.01]))
+    t = jnp.array([0.3, -0.1, 0.9])
+    t = t / jnp.linalg.norm(t)
+    X1 = jnp.asarray(np.stack([
+        rng.uniform(-5, 5, n), rng.uniform(-2, 2, n), rng.uniform(4, 30, n),
+    ], axis=-1))
+    X2 = X1 @ R.T + t
+    x1 = X1[:, :2] / X1[:, 2:]
+    x2 = X2[:, :2] / X2[:, 2:]
+    if noise:
+        x1 = x1 + noise * jnp.asarray(rng.normal(size=x1.shape))
+        x2 = x2 + noise * jnp.asarray(rng.normal(size=x2.shape))
+    return x1, x2, R, t
+
+
+def essential_from_Rt(R, t):
+    tx = jnp.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    return tx @ R
+
+
+def test_normalize_points():
+    K = jnp.array([[700.0, 0, 600], [0, 650, 180], [0, 0, 1]])
+    x = jnp.array([[600.0, 180.0], [1300.0, 830.0]])
+    xn = normalize_points(x, K)
+    np.testing.assert_allclose(xn, jnp.array([[0.0, 0.0], [1.0, 1.0]]),
+                               atol=1e-6)
+
+
+def test_eight_point_recovers_E(rng):
+    x1, x2, R, t = make_mono_problem(rng, n=60)
+    E = eight_point_E(x1, x2)
+    E_true = essential_from_Rt(R, t)
+    s = sampson_distance(E, x1, x2)
+    np.testing.assert_allclose(np.asarray(s), 0.0, atol=1e-9)
+    # up to scale/sign
+    En = E / jnp.linalg.norm(E)
+    Etn = E_true / jnp.linalg.norm(E_true)
+    err = min(float(jnp.max(jnp.abs(En - Etn))),
+              float(jnp.max(jnp.abs(En + Etn))))
+    assert err < 1e-4
+
+
+def test_decompose_and_recover(rng):
+    x1, x2, R, t = make_mono_problem(rng, n=80)
+    E = essential_from_Rt(R, t)
+    R_est, t_est, good, n_good = recover_pose(E, x1, x2)
+    assert int(n_good) > 75
+    np.testing.assert_allclose(R_est, R, atol=1e-4)
+    np.testing.assert_allclose(t_est, t, atol=1e-4)
+
+
+def test_ransac_essential_with_outliers(rng):
+    x1, x2, R, t = make_mono_problem(rng, n=150, noise=1e-4)
+    bad = jnp.asarray(rng.uniform(size=(150,)) < 0.3)
+    x2c = jnp.where(bad[:, None],
+                    x2 + jnp.asarray(rng.normal(size=x2.shape)) * 0.3, x2)
+    res = ransac_essential(jax.random.PRNGKey(0), x1, x2c,
+                           sampson_thresh=1e-6, num_hypotheses=256)
+    assert bool(res.ok)
+    # outliers rejected
+    assert float(jnp.mean(bad[res.inliers].astype(jnp.float32))) < 0.05
+    R_est, t_est, _, n_good = recover_pose(res.E, x1, x2c,
+                                           valid=res.inliers)
+    np.testing.assert_allclose(R_est, R, atol=0.01)
+    np.testing.assert_allclose(t_est, t, atol=0.05)
+
+
+def test_ransac_essential_respects_padding(rng):
+    x1, x2, R, t = make_mono_problem(rng, n=64)
+    x1p = jnp.concatenate([x1, jnp.full((64, 2), 77.0)])
+    x2p = jnp.concatenate([x2, jnp.full((64, 2), -55.0)])
+    valid = jnp.arange(128) < 64
+    res = ransac_essential(jax.random.PRNGKey(1), x1p, x2p, valid=valid,
+                           sampson_thresh=1e-7)
+    assert bool(res.ok)
+    assert not bool(jnp.any(res.inliers[64:]))
