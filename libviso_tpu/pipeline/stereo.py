@@ -59,6 +59,15 @@ class FrameOutput(NamedTuple):
     num_kp1: jax.Array      # () int32 detected left corners
 
 
+class FrameDebug(NamedTuple):
+    """Extra per-frame tensors for the debug artifact writer (C17)."""
+
+    circle: object          # CircleResult
+    inliers: jax.Array      # (N,) bool RANSAC support mask
+    obs: jax.Array          # (N, 4) current observations per left slot
+    predict: jax.Array      # (N, 4) reprojections under the estimated tr
+
+
 def empty_state(cfg: PipelineConfig, dtype=jnp.float32) -> FrameState:
     """All-invalid state for the first frame (``first`` flag analog)."""
     n = cfg.detector.num_slots
@@ -78,7 +87,7 @@ def empty_state(cfg: PipelineConfig, dtype=jnp.float32) -> FrameState:
 
 
 def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
-                     backend: str = "xla"):
+                     backend: str = "xla", debug: bool = False):
     """Build the jit-compiled per-frame VO step.
 
     Args:
@@ -87,9 +96,12 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
         per sequence on the host in f64 — see F_from_P_host).
       cfg: pipeline configuration (static).
       backend: descriptor-distance backend ('xla' | 'pallas').
+      debug: also return a FrameDebug with the tensors the artifact
+        writer needs (reference param.save_debug analog, src/viso.h:60).
 
     Returns:
-      step(state, im1, im2, key) -> (new_state, FrameOutput), jittable.
+      step(state, im1, im2, key) -> (new_state, FrameOutput[, FrameDebug]),
+      jittable.
     """
     F = jnp.asarray(F)
 
@@ -139,6 +151,13 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
             num_lr=jnp.sum(mlr.valid.astype(jnp.int32)),
             num_kp1=jnp.sum(kp1.valid.astype(jnp.int32)),
         )
+        if debug:
+            from libviso_tpu.solvers.gauss_newton import stereo_predict
+
+            predict, _ = stereo_predict(est.tr, Xp, calib)
+            dbg = FrameDebug(circle=circ, inliers=est.inliers, obs=obs,
+                             predict=predict)
+            return new_state, out, dbg
         return new_state, out
 
     return step
@@ -155,7 +174,7 @@ class SequenceResult:
 def run_stereo_sequence(frames: Iterable, P1, P2,
                         cfg: PipelineConfig = PipelineConfig(),
                         seed: int = 0, backend: str = "xla",
-                        on_frame=None) -> SequenceResult:
+                        on_frame=None, dbg_dir=None) -> SequenceResult:
     """Host driver: stream stereo pairs through the jitted step.
 
     The analog of the reference `sequence_odometry` loop + the `kitti`
@@ -166,20 +185,44 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
       frames: iterable of (im_left, im_right) uint8/float arrays (H, W).
       P1, P2: 3x4 rectified projection matrices.
       on_frame: optional callback(frame_index, FrameOutput) for metrics.
+      dbg_dir: write per-frame debug artifacts here (C17; the reference's
+        param.save_debug + dbg_dir, src/viso.cpp:1232-1310).
     """
+    from libviso_tpu.utils.debug_viz import DebugDumper
+
     calib = Calib.from_projections(P1, P2)
     F = F_from_P_host(P1, P2)
-    step = jax.jit(build_frame_step(calib, F, cfg, backend=backend))
+    debug = dbg_dir is not None
+    step = jax.jit(build_frame_step(calib, F, cfg, backend=backend,
+                                    debug=debug))
     key = jax.random.PRNGKey(seed)
+    dumper = DebugDumper(dbg_dir)
 
     state = empty_state(cfg)
     motions, oks, stats = [], [], []
+    prev_host = None
     for t, (im1, im2) in enumerate(frames):
         # ship uint8 when possible (4x less host->device traffic); the
         # detector casts on-device
         im1 = jnp.asarray(im1)
         im2 = jnp.asarray(im2)
-        state, out = step(state, im1, im2, jax.random.fold_in(key, t))
+        prev_state = state
+        if debug:
+            state, out, dbg = step(state, im1, im2,
+                                   jax.random.fold_in(key, t))
+            mlr = type("M", (), {"idx": state.match_lr})
+            dumper.frame(
+                t, np.asarray(im1), np.asarray(im2), state.kp1, state.kp2,
+                mlr,
+                prev=(prev_host[0], prev_host[1], prev_state.kp1,
+                      prev_state.kp2) if prev_host else None,
+                circ=dbg.circle if t > 0 else None,
+                predict=dbg.predict if t > 0 else None,
+                obs=dbg.obs if t > 0 else None,
+                inliers=dbg.inliers if t > 0 else None)
+            prev_host = (np.asarray(im1), np.asarray(im2))
+        else:
+            state, out = step(state, im1, im2, jax.random.fold_in(key, t))
         first = t == 0  # reference skips the first frame (viso.cpp:1256)
         ok = bool(out.ok) and not first
         motions.append(np.asarray(out.tr))
