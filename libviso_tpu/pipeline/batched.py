@@ -40,9 +40,25 @@ class BatchedOutput(NamedTuple):
     num_lr: jax.Array       # (T,) int32
 
 
+class TrackData(NamedTuple):
+    """Front-end tensors needed to build BA windows (pipeline/refine.py)."""
+
+    kp1_xy: jax.Array      # (T, N, 2)
+    kp2_xy: jax.Array      # (T, N, 2)
+    mlr_idx: jax.Array     # (T, N)
+    mlr_valid: jax.Array   # (T, N)
+    m11_idx: jax.Array     # (T-1, N) frame t+1 -> t left matches
+    m11_valid: jax.Array   # (T-1, N)
+    circ_valid: jax.Array  # (T-1, N) circle-consistent transitions
+    X: jax.Array           # (T, N, 3) camera-local triangulations
+
+
 def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
-                           backend: str = "xla"):
-    """Build fn(ims1 (T,H,W), ims2 (T,H,W), key) -> BatchedOutput (jittable)."""
+                           backend: str = "xla", with_tracks: bool = False):
+    """Build fn(ims1 (T,H,W), ims2 (T,H,W), key) -> BatchedOutput (jittable).
+
+    ``with_tracks=True`` additionally returns a TrackData for windowed BA.
+    """
     F = jnp.asarray(F)
     n_slots = cfg.detector.num_slots
 
@@ -93,7 +109,7 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
         tr_t = jnp.where(ok_t[:, None], est.tr, 0.0)
 
         zeros6 = jnp.zeros((1, 6), tr_t.dtype)
-        return BatchedOutput(
+        out = BatchedOutput(
             motions=jnp.concatenate([zeros6, tr_t], axis=0),
             ok=jnp.concatenate([jnp.zeros((1,), bool), ok_t]),
             num_circle=jnp.concatenate(
@@ -102,5 +118,15 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
                 [jnp.zeros((1,), jnp.int32), est.num_inliers]),
             num_lr=jnp.sum(mlr.valid.astype(jnp.int32), axis=1),
         )
+        if with_tracks:
+            tracks = TrackData(
+                kp1_xy=kp1.xy, kp2_xy=kp2.xy,
+                mlr_idx=mlr.idx, mlr_valid=mlr.valid,
+                m11_idx=m11.idx, m11_valid=m11.valid,
+                circ_valid=circ.valid,
+                X=X,
+            )
+            return out, tracks
+        return out
 
     return fn

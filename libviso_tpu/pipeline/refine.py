@@ -1,0 +1,142 @@
+"""Windowed-BA trajectory refinement over the VO front-end's tracks.
+
+BASELINE config 4: sliding-window bundle adjustment over keyframes.  The
+front-end (batched odometry) already produces, per frame, the left-slot
+keypoints, stereo matches, triangulated points, and the temporal map
+``m11`` (current-left slot -> previous-left slot).  A landmark *track* is a
+chain of slots through consecutive ``m11`` maps; with fixed shapes that is
+a scatter-inverted map composed by gathers — no ragged track lists.
+
+Window model: landmarks are the (valid) left slots of the window's first
+frame; the window's first camera is the gauge.  Initial world points come
+from frame-0 stereo triangulation; initial poses from the VO motions.
+After BA, refined relative motions replace the VO motions inside the
+window.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.geometry.se3 import (
+    matrix_to_pose_vector,
+    pose_vector_to_matrix,
+)
+from libviso_tpu.solvers.bundle_adjust import bundle_adjust
+
+
+def invert_match_map(idx, valid, n_slots):
+    """Invert a (cur-slot -> prev-slot) match map into prev -> cur.
+
+    Many-to-one collisions keep an arbitrary writer (matches the
+    first-found semantics a scalar loop would have; ties are rare).
+    """
+    cur = jnp.arange(idx.shape[0], dtype=jnp.int32)
+    targets = jnp.where(valid, idx, n_slots)  # out-of-range rows drop
+    inv = jnp.full((n_slots,), -1, jnp.int32)
+    return inv.at[targets].set(cur, mode="drop")
+
+
+class WindowProblem(NamedTuple):
+    poses0: jax.Array   # (W, 6) initial camera-from-frame0 poses
+    X0: jax.Array       # (L, 3) initial landmarks (frame-0 camera frame)
+    obs: jax.Array      # (W, L, 4)
+    mask: jax.Array     # (W, L)
+
+
+def build_window_problem(kp1_xy, kp2_xy, mlr_idx, mlr_valid, m11_idx,
+                         m11_valid, X_tri, motions, n_slots,
+                         circ_valid=None) -> WindowProblem:
+    """Assemble a BA window from front-end outputs.
+
+    Args:
+      kp1_xy, kp2_xy: (W, N, 2) keypoint positions in left/right images.
+      mlr_idx, mlr_valid: (W, N) stereo matches per left slot.
+      m11_idx, m11_valid: (W-1, N) temporal matches (frame t+1 -> t).
+      X_tri: (W, N, 3) per-frame triangulated points (camera-local).
+      motions: (W, 6) VO motions (motions[0] ignored; frame t-1 -> t).
+      n_slots: N.
+      circ_valid: optional (W-1, N) circular-consistency mask over
+        *current* slots — temporal matches carry outliers the circle
+        filter rejects; tracks only extend through consistent transitions.
+    """
+    Wn = kp1_xy.shape[0]
+
+    # landmark j <-> slot chain: slot_of[0] = j, slot_of[t] = inv(m11_t)[...]
+    inv_maps = jax.vmap(
+        lambda i, v: invert_match_map(i, v, n_slots))(m11_idx, m11_valid)
+    if circ_valid is None:
+        circ_valid = jnp.ones_like(m11_valid)
+
+    def chain(carry, inp):
+        inv_t, circ_t = inp
+        slot = carry
+        nxt = jnp.where(slot >= 0,
+                        inv_t[jnp.clip(slot, 0, n_slots - 1)], -1)
+        # require the transition to be circle-consistent at the new slot
+        consistent = circ_t[jnp.clip(nxt, 0, n_slots - 1)]
+        nxt = jnp.where((nxt >= 0) & consistent, nxt, -1)
+        return nxt, nxt
+
+    slots0 = jnp.arange(n_slots, dtype=jnp.int32)
+    _, slots_rest = jax.lax.scan(chain, slots0, (inv_maps, circ_valid))
+    slots = jnp.concatenate([slots0[None], slots_rest], axis=0)  # (W, N)
+
+    safe = jnp.clip(slots, 0, n_slots - 1)
+    take = lambda arr: jnp.take_along_axis(arr, safe, axis=1)
+    u1 = jnp.take_along_axis(kp1_xy, safe[..., None], axis=1)
+    r_idx = take(mlr_idx)
+    r_safe = jnp.clip(r_idx, 0, n_slots - 1)
+    u2 = jnp.take_along_axis(kp2_xy, r_safe[..., None], axis=1)
+    obs = jnp.concatenate([u1, u2], axis=-1)  # (W, N, 4)
+    mask = (slots >= 0) & take(mlr_valid)
+    mask = mask & mask[0][None]  # landmark must exist in the gauge frame
+
+    # initial poses: camera_t from frame-0 camera = Tr_t ... Tr_1
+    Ts = pose_vector_to_matrix(motions)
+
+    def compose(carry, T):
+        nxt = T @ carry
+        return nxt, nxt
+
+    eye = jnp.eye(4, dtype=motions.dtype)
+    _, poses_rest = jax.lax.scan(compose, eye, Ts[1:])
+    poses_mat = jnp.concatenate([eye[None], poses_rest], axis=0)
+    poses0 = matrix_to_pose_vector(poses_mat)
+
+    return WindowProblem(poses0=poses0, X0=X_tri[0], obs=obs, mask=mask)
+
+
+def refine_window_motions(problem: WindowProblem, calib: Calib,
+                          iters=8, damping=1e-3, min_obs=10,
+                          outlier_px=30.0):
+    """Run BA on a window and convert refined poses back to per-frame
+    motions.  Returns (motions (W, 6), cost_before, cost_after, ok).
+
+    ``outlier_px`` drops observations whose initial reprojection error
+    exceeds the threshold (gross track mismatches that survive the circle
+    gate would otherwise dominate the quadratic cost) — generous enough
+    that genuinely misestimated initial poses keep their observations.
+    """
+    from libviso_tpu.solvers.bundle_adjust import _project_all
+
+    # landmarks with too few observations are dropped from the problem
+    keep = jnp.sum(problem.mask, axis=0) >= 2
+    mask = problem.mask & keep[None]
+    predict, _ = _project_all(problem.poses0, problem.X0, calib)
+    err2 = jnp.sum((problem.obs - predict) ** 2, axis=-1)
+    mask = mask & (err2 < outlier_px**2)
+    res = bundle_adjust(problem.poses0, problem.X0, problem.obs, mask,
+                        calib, iters=iters, damping=damping)
+    poses_mat = pose_vector_to_matrix(res.poses)
+    rel = poses_mat[1:] @ jnp.linalg.inv(poses_mat[:-1])
+    motions = jnp.concatenate(
+        [jnp.zeros((1, 6), res.poses.dtype), matrix_to_pose_vector(rel)])
+    enough = jnp.sum(mask) >= min_obs
+    ok = enough & (res.cost <= res.initial_cost)
+    return motions, res.initial_cost, res.cost, ok

@@ -1,0 +1,108 @@
+"""Windowed-BA refinement over real front-end tracks (BASELINE config 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libviso_tpu.config import Calib, DetectorConfig, PipelineConfig, RansacConfig
+from libviso_tpu.geometry.mvg import F_from_P_host
+from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
+from libviso_tpu.pipeline.batched import build_batched_odometry
+from libviso_tpu.pipeline.refine import (
+    build_window_problem,
+    invert_match_map,
+    refine_window_motions,
+)
+from libviso_tpu.synthetic import generate_sequence
+from libviso_tpu.utils.metrics import ate_rmse
+
+
+def test_invert_match_map():
+    idx = jnp.array([3, -1, 0, 3], jnp.int32)   # slots 0,3 both -> 3
+    valid = jnp.array([True, False, True, True])
+    inv = invert_match_map(idx, valid, 4)
+    assert int(inv[0]) == 2
+    assert int(inv[3]) in (0, 3)   # collision: either writer acceptable
+    assert int(inv[1]) == -1 and int(inv[2]) == -1
+
+
+@pytest.fixture(scope="module")
+def window_run():
+    seq = generate_sequence(num_frames=6, num_points=500, seed=21,
+                            width=416, height=160, speed=0.6, f=360.0)
+    cfg = PipelineConfig(
+        detector=DetectorConfig(max_features=480, nbinx=8, nbiny=4,
+                                num_slots=512),
+        ransac=RansacConfig(num_hypotheses=32, gn_iters=50),
+    )
+    calib = Calib.from_projections(seq.P1, seq.P2)
+    F = F_from_P_host(seq.P1, seq.P2)
+    fn = jax.jit(build_batched_odometry(calib, F, cfg, with_tracks=True))
+    left = jnp.asarray(np.stack([f[0] for f in seq.frames]))
+    right = jnp.asarray(np.stack([f[1] for f in seq.frames]))
+    out, tracks = fn(left, right, jax.random.PRNGKey(0))
+    return seq, cfg, calib, out, tracks
+
+
+def test_window_problem_shapes_and_mask(window_run):
+    seq, cfg, calib, out, tracks = window_run
+    prob = build_window_problem(
+        tracks.kp1_xy, tracks.kp2_xy, tracks.mlr_idx, tracks.mlr_valid,
+        tracks.m11_idx, tracks.m11_valid, tracks.X, out.motions,
+        cfg.detector.num_slots, circ_valid=tracks.circ_valid)
+    W = tracks.kp1_xy.shape[0]
+    N = cfg.detector.num_slots
+    assert prob.obs.shape == (W, N, 4)
+    assert prob.mask.shape == (W, N)
+    # plenty of tracks survive the whole window on clean synthetic data
+    full_tracks = int(jnp.sum(jnp.all(prob.mask, axis=0)))
+    assert full_tracks > 50, full_tracks
+    # observations under the mask agree with the gauge-frame projections
+    # (frame 0 obs are by construction the slot keypoints)
+    np.testing.assert_allclose(
+        np.asarray(prob.obs[0][np.asarray(prob.mask[0])][:, :2]),
+        np.asarray(tracks.kp1_xy[0][np.asarray(prob.mask[0])]), atol=0)
+
+
+def test_refinement_reduces_cost_and_tracks_gt(window_run):
+    seq, cfg, calib, out, tracks = window_run
+    prob = build_window_problem(
+        tracks.kp1_xy, tracks.kp2_xy, tracks.mlr_idx, tracks.mlr_valid,
+        tracks.m11_idx, tracks.m11_valid, tracks.X, out.motions,
+        cfg.detector.num_slots, circ_valid=tracks.circ_valid)
+    motions, c0, c1, ok = refine_window_motions(prob, calib, iters=10)
+    assert bool(ok)
+    assert float(c1) <= float(c0)
+
+    poses_vo = np.asarray(chain_motions(
+        pose_vector_to_matrix(out.motions), out.ok))
+    valid = jnp.concatenate([jnp.zeros((1,), bool),
+                             jnp.ones((len(motions) - 1,), bool)])
+    poses_ba = np.asarray(chain_motions(
+        pose_vector_to_matrix(motions), valid))
+    ate_vo = ate_rmse(poses_vo, seq.gt_poses)
+    ate_ba = ate_rmse(poses_ba, seq.gt_poses)
+    # BA must stay in the same accuracy class (quantization floor) and
+    # usually improves
+    assert ate_ba < max(1.5 * ate_vo, 0.05), (ate_vo, ate_ba)
+
+
+def test_refinement_fixes_perturbed_motions(window_run):
+    seq, cfg, calib, out, tracks = window_run
+    bad = out.motions.at[2].add(
+        jnp.array([0.004, -0.003, 0.002, 0.05, 0.03, -0.08]))
+    prob = build_window_problem(
+        tracks.kp1_xy, tracks.kp2_xy, tracks.mlr_idx, tracks.mlr_valid,
+        tracks.m11_idx, tracks.m11_valid, tracks.X, bad,
+        cfg.detector.num_slots, circ_valid=tracks.circ_valid)
+    motions, c0, c1, ok = refine_window_motions(prob, calib, iters=15)
+    assert bool(ok)
+    assert float(c1) < float(c0) * 0.5
+    # refined motion 2 lands near ground truth (BA jointly optimizes
+    # landmarks, so its optimum needn't coincide with the VO estimate —
+    # measured: BA is *closer* to GT than VO here)
+    err_bad = np.abs(np.asarray(bad[2] - seq.gt_motions[2])).max()
+    err_ba = np.abs(np.asarray(motions[2] - seq.gt_motions[2])).max()
+    assert err_ba < 0.03, err_ba
+    assert err_ba < err_bad / 2
