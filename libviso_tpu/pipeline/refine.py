@@ -114,14 +114,16 @@ def build_window_problem(kp1_xy, kp2_xy, mlr_idx, mlr_valid, m11_idx,
 
 def refine_window_motions(problem: WindowProblem, calib: Calib,
                           iters=8, damping=1e-3, min_obs=10,
-                          outlier_px=30.0):
+                          outlier_px=30.0, rerank_px=2.0):
     """Run BA on a window and convert refined poses back to per-frame
     motions.  Returns (motions (W, 6), cost_before, cost_after, ok).
 
-    ``outlier_px`` drops observations whose initial reprojection error
-    exceeds the threshold (gross track mismatches that survive the circle
-    gate would otherwise dominate the quadratic cost) — generous enough
-    that genuinely misestimated initial poses keep their observations.
+    Two-stage robustness (quadratic BA has no influence bound, so
+    surviving mismatched tracks bias the window's edge motions):
+      1. drop observations whose *initial* reprojection error exceeds
+         ``outlier_px`` (gross track mismatches), run a coarse BA;
+      2. re-gate at ``rerank_px`` using the coarse solution's residuals
+         (now trustworthy), run the final BA.
     """
     from libviso_tpu.solvers.bundle_adjust import _project_all
 
@@ -131,8 +133,21 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
     predict, _ = _project_all(problem.poses0, problem.X0, calib)
     err2 = jnp.sum((problem.obs - predict) ** 2, axis=-1)
     mask = mask & (err2 < outlier_px**2)
-    res = bundle_adjust(problem.poses0, problem.X0, problem.obs, mask,
+    coarse = bundle_adjust(problem.poses0, problem.X0, problem.obs, mask,
+                           calib, iters=iters, damping=damping)
+    predict2, _ = _project_all(coarse.poses, coarse.landmarks, calib)
+    err2b = jnp.sum((problem.obs - predict2) ** 2, axis=-1)
+    mask2 = mask & (err2b < rerank_px**2)
+    keep2 = jnp.sum(mask2, axis=0) >= 2
+    mask2 = mask2 & keep2[None]
+    res = bundle_adjust(coarse.poses, coarse.landmarks, problem.obs, mask2,
                         calib, iters=iters, damping=damping)
+    # report before/after on the same (final) mask so they are comparable
+    from libviso_tpu.solvers.bundle_adjust import ba_cost
+
+    res = res._replace(initial_cost=ba_cost(problem.poses0, problem.X0,
+                                            problem.obs, mask2, calib))
+    mask = mask2
     poses_mat = pose_vector_to_matrix(res.poses)
     rel = poses_mat[1:] @ jnp.linalg.inv(poses_mat[:-1])
     motions = jnp.concatenate(

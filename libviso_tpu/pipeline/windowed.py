@@ -1,0 +1,103 @@
+"""Sequence-level sliding-window BA odometry (BASELINE config 4/5).
+
+Drives the frame-batched front-end over a sequence in overlapping windows,
+refines each window's motions with the Schur-complement BA, and stitches
+the refined relative motions into a global trajectory.  Window w covers
+frames [w*stride, w*stride + window); consecutive windows share
+(window - stride) frames and the refined motions of the *later* window win
+on the overlap (they are conditioned on more future evidence).
+
+Distribution (config 5): windows are independent problems — the same
+mapping used for sequence-chunk DP applies, with the landmark axis of each
+BA additionally shardable over the 'model' mesh axis
+(solvers/bundle_adjust.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.geometry.mvg import F_from_P_host
+from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
+from libviso_tpu.pipeline.batched import build_batched_odometry
+from libviso_tpu.pipeline.refine import (
+    build_window_problem,
+    refine_window_motions,
+)
+
+
+@dataclasses.dataclass
+class WindowedResult:
+    poses: np.ndarray       # (T, 4, 4) BA-refined trajectory
+    poses_vo: np.ndarray    # (T, 4, 4) front-end-only trajectory
+    motions: np.ndarray     # (T, 6) refined motions
+    frame_ok: np.ndarray    # (T,)
+    window_costs: list      # (initial, final, ok) per window
+
+
+def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
+                    window: int = 8, stride: int = 4, ba_iters: int = 10,
+                    seed: int = 0, backend: str = "xla") -> WindowedResult:
+    """Stereo VO + sliding-window BA over a full sequence.
+
+    Args:
+      frames: list of (left, right) image pairs (host arrays).
+      window: frames per BA window.
+      stride: window start spacing (stride < window = overlap).
+    """
+    frames = list(frames)
+    T = len(frames)
+    calib = Calib.from_projections(P1, P2)
+    F = F_from_P_host(P1, P2)
+    n_slots = cfg.detector.num_slots
+
+    fn = jax.jit(build_batched_odometry(calib, F, cfg, backend=backend,
+                                        with_tracks=True))
+    refine = jax.jit(lambda prob: refine_window_motions(prob, calib,
+                                                        iters=ba_iters))
+    build = jax.jit(lambda tr, motions: build_window_problem(
+        tr.kp1_xy, tr.kp2_xy, tr.mlr_idx, tr.mlr_valid,
+        tr.m11_idx, tr.m11_valid, tr.X, motions, n_slots,
+        circ_valid=tr.circ_valid))
+
+    key = jax.random.PRNGKey(seed)
+    motions = np.zeros((T, 6), np.float32)
+    oks = np.zeros((T,), bool)
+    motions_vo = np.zeros((T, 6), np.float32)
+    window_costs = []
+
+    starts = list(range(0, max(T - window, 0) + 1, stride))
+    if not starts:
+        starts = [0]
+    # ensure the tail is covered
+    if starts[-1] + window < T:
+        starts.append(T - window)
+
+    for w, s in enumerate(starts):
+        e = min(s + window, T)
+        ims1 = jnp.asarray(np.stack([np.asarray(f[0]) for f in frames[s:e]]))
+        ims2 = jnp.asarray(np.stack([np.asarray(f[1]) for f in frames[s:e]]))
+        out, tracks = fn(ims1, ims2, jax.random.fold_in(key, w))
+        prob = build(tracks, out.motions)
+        refined, c0, c1, ok_ba = refine(prob)
+        refined = np.asarray(refined)
+        out_ok = np.asarray(out.ok)
+        use = np.asarray(jnp.where(ok_ba, refined, out.motions))
+        window_costs.append((float(c0), float(c1), bool(ok_ba)))
+        # local index 0 is the window's halo frame (no motion)
+        motions[s + 1:e] = use[1:]
+        motions_vo[s + 1:e] = np.asarray(out.motions)[1:]
+        oks[s + 1:e] = out_ok[1:] | bool(ok_ba)
+
+    oks[0] = False
+    Ts = pose_vector_to_matrix(jnp.asarray(motions))
+    poses = np.asarray(chain_motions(Ts, jnp.asarray(oks)))
+    Ts_vo = pose_vector_to_matrix(jnp.asarray(motions_vo))
+    poses_vo = np.asarray(chain_motions(Ts_vo, jnp.asarray(oks)))
+    return WindowedResult(poses=poses, poses_vo=poses_vo, motions=motions,
+                          frame_ok=oks, window_costs=window_costs)
