@@ -69,6 +69,9 @@ class DetectorConfig:
     aperture: int = 5
     descriptor_radius: int = 5
     num_slots: int = 1280  # fixed keypoint tensor size (>= max_features)
+    # Beyond-reference options (BASELINE config 3):
+    pyramid_levels: int = 1  # >1 enables multi-scale detection
+    subpixel: bool = False   # quadratic subpixel corner refinement
 
     @property
     def corners_per_bin(self) -> int:

@@ -185,8 +185,10 @@ def extract_descriptors(img, kp: Keypoints,
     padded = jnp.pad(sob, ((r, r), (r, r)))  # zeros outside the image
 
     def gather_patch(xy):
-        x = xy[0].astype(jnp.int32)
-        y = xy[1].astype(jnp.int32)
+        # round: subpixel-refined keypoints carry fractional coordinates,
+        # the descriptor grid stays integral
+        x = jnp.round(xy[0]).astype(jnp.int32)
+        y = jnp.round(xy[1]).astype(jnp.int32)
         patch = jax.lax.dynamic_slice(padded, (y, x), (d, d))
         return patch.reshape(-1)
 
@@ -205,6 +207,18 @@ def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig()):
     img = jnp.asarray(img)
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)
+    if cfg.pyramid_levels > 1:
+        from libviso_tpu.ops.pyramid import detect_and_describe_multiscale
+
+        kp, desc, _ = detect_and_describe_multiscale(
+            img, cfg, levels=cfg.pyramid_levels, subpixel=cfg.subpixel)
+        return kp, desc
     kp = detect_harris_binned(img, cfg)
+    if cfg.subpixel:
+        from libviso_tpu.ops.pyramid import subpixel_refine
+
+        resp = harris_response(img, cfg.block_size, cfg.aperture,
+                               cfg.harris_k)
+        kp = subpixel_refine(resp, kp)
     desc = extract_descriptors(img, kp, cfg)
     return kp, desc

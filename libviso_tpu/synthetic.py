@@ -54,10 +54,37 @@ def _stamp(img, x, y, patch):
     img[y0:y1, x0:x1] = patch[sy0:sy0 + (y1 - y0), sx0:sx0 + (x1 - x0)]
 
 
+def _stamp_bilinear(img, xf, yf, patch):
+    """Stamp a patch at a *fractional* center by bilinear splatting —
+    landmarks then sit at true subpixel positions, which is what the
+    subpixel-refinement path (BASELINE config 3) is meant to recover."""
+    xi, yi = int(np.floor(xf)), int(np.floor(yf))
+    ax, ay = xf - xi, yf - yi
+    shifted = np.zeros((patch.shape[0] + 1, patch.shape[1] + 1),
+                       patch.dtype)
+    shifted[:-1, :-1] += (1 - ay) * (1 - ax) * patch
+    shifted[:-1, 1:] += (1 - ay) * ax * patch
+    shifted[1:, :-1] += ay * (1 - ax) * patch
+    shifted[1:, 1:] += ay * ax * patch
+    h, w = img.shape
+    p = shifted.shape[0]
+    r = patch.shape[0] // 2
+    y0, x0 = yi - r, xi - r
+    y1, x1 = y0 + p, x0 + p
+    sy0, sx0 = max(0, -y0), max(0, -x0)
+    y0c, x0c = max(0, y0), max(0, x0)
+    y1c, x1c = min(h, y1), min(w, x1)
+    if y1c <= y0c or x1c <= x0c:
+        return
+    img[y0c:y1c, x0c:x1c] = shifted[sy0:sy0 + (y1c - y0c),
+                                    sx0:sx0 + (x1c - x0c)]
+
+
 def generate_sequence(num_frames=12, num_points=900, seed=0,
                       width=620, height=188, speed=0.8,
                       yaw_rate=0.004, patch=7,
-                      f=360.0, base=0.54) -> SyntheticSequence:
+                      f=360.0, base=0.54,
+                      subpixel_render=False) -> SyntheticSequence:
     """Render a forward-driving stereo sequence over a random landmark field.
 
     Args:
@@ -116,10 +143,14 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
         for i in order:
             if not vis[i]:
                 continue
-            x1, y1 = int(round(ul[i])), int(round(vl[i]))
-            x2 = int(round(ur[i]))
-            _stamp(im1, x1, y1, patterns[i])
-            _stamp(im2, x2, y1, patterns[i])
+            if subpixel_render:
+                _stamp_bilinear(im1, float(ul[i]), float(vl[i]), patterns[i])
+                _stamp_bilinear(im2, float(ur[i]), float(vl[i]), patterns[i])
+            else:
+                x1, y1 = int(round(ul[i])), int(round(vl[i]))
+                x2 = int(round(ur[i]))
+                _stamp(im1, x1, y1, patterns[i])
+                _stamp(im2, x2, y1, patterns[i])
         frames.append((np.clip(im1, 0, 255), np.clip(im2, 0, 255)))
 
     return SyntheticSequence(frames=frames, gt_poses=gt_poses,
