@@ -2,9 +2,10 @@
 
 Host-side analogs of the reference's ``loadCalib`` (src/kitti.cpp:23-46),
 ``savePoses`` (src/kitti.cpp:49-64) and the lazy ``StereoImageGenerator``
-(src/viso.h:81-101).  Images are decoded with PIL on the host and handed to
-the device as float32 arrays; the stream supports a simple read-ahead so
-decode overlaps device compute.
+(src/viso.h:81-101).  PNG decode runs through the native C++ runtime
+(native/viso_native.cpp: libpng + a threaded in-order prefetch executor) so
+decode overlaps device compute; when the native library can't build, a
+PIL + Python-thread fallback provides identical semantics.
 """
 
 from __future__ import annotations
@@ -57,7 +58,20 @@ def load_poses_kitti(path: str) -> np.ndarray:
     return T
 
 
+def _native():
+    """The native C++ decode runtime, or None if it can't build here."""
+    try:
+        from libviso_tpu import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def _read_gray(path: str) -> np.ndarray:
+    nat = _native()
+    if nat is not None and path.lower().endswith(".png"):
+        return nat.decode_png_gray(path)
     from PIL import Image
 
     with Image.open(path) as im:
@@ -92,19 +106,39 @@ class StereoImageStream:
         self.end = end
         self.prefetch = prefetch
 
-    def _frames(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def _paths(self):
+        """Enumerate existing (left, right) path pairs, reference-style:
+        stop at ``end`` or the first missing file (src/viso.h:91-96)."""
         i = self.begin
         while self.end is None or i <= self.end:
             left, right = self.mask_left % i, self.mask_right % i
             if not (os.path.exists(left) and os.path.exists(right)):
                 return
-            yield _read_gray(left), _read_gray(right)
+            yield left, right
             i += 1
+
+    def _frames(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for left, right in self._paths():
+            yield _read_gray(left), _read_gray(right)
 
     def __iter__(self):
         if self.prefetch <= 0:
             yield from self._frames()
             return
+        nat = _native()
+        if nat is not None:
+            pairs = list(self._paths())
+            if all(p.lower().endswith(".png") for lr in pairs for p in lr):
+                # Native path: one C++ prefetch stream over the interleaved
+                # left/right list; workers decode `prefetch` frames ahead.
+                flat = [p for lr in pairs for p in lr]
+                with nat.NativeImageStream(
+                        flat, threads=4, depth=2 * self.prefetch) as s:
+                    for _ in range(len(pairs)):
+                        left = s.next()
+                        right = s.next()
+                        yield left, right
+                return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         done = object()
 

@@ -1,0 +1,61 @@
+"""Build the native runtime shared library on demand.
+
+One g++ invocation, cached by source mtime; no cmake/bazel ceremony for a
+single translation unit.  The .so lands next to this file so the package is
+self-contained.  Failure to build is non-fatal — the Python/PIL path in
+io/kitti.py covers every capability, just slower.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(os.path.dirname(_HERE))
+_SRC = os.path.join(_REPO, "native", "viso_native.cpp")
+_SO = os.path.join(_HERE, "_viso_native.so")
+
+
+def so_path() -> str:
+    return _SO
+
+
+def needs_build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    if not os.path.exists(_SO):
+        return True
+    return os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+
+
+def build(verbose: bool = False) -> str | None:
+    """Compile native/viso_native.cpp -> _viso_native.so; None on failure."""
+    if not os.path.exists(_SRC):
+        return None
+    if not needs_build():
+        return _SO
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+        _SRC, "-lpng", "-lz", "-o", _SO + ".tmp",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:  # no g++ / hang
+        if verbose:
+            print(f"native build unavailable: {e}", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        if verbose:
+            print(f"native build failed:\n{proc.stderr}", file=sys.stderr)
+        return None
+    os.replace(_SO + ".tmp", _SO)
+    return _SO
+
+
+if __name__ == "__main__":
+    out = build(verbose=True)
+    print(out or "BUILD FAILED")
+    sys.exit(0 if out else 1)

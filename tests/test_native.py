@@ -1,0 +1,102 @@
+"""Native C++ runtime: PNG decode + in-order prefetch executor.
+
+Oracle is PIL: grayscale PNGs must decode byte-exact; RGB->luma within +-1
+(fixed-point rounding).  The prefetch stream must deliver frames in exact
+path order no matter how decode completes across the thread pool.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from libviso_tpu import native
+from libviso_tpu.io.kitti import StereoImageStream
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native runtime did not build here")
+
+
+def _save(tmp_path, name, arr, mode):
+    p = str(tmp_path / name)
+    Image.fromarray(arr, mode).save(p)
+    return p
+
+
+def test_decode_gray_exact(tmp_path, rng):
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    p = _save(tmp_path, "g.png", img, "L")
+    assert np.array_equal(native.decode_png_gray(p), img)
+    assert native.png_dims(p) == (37, 53)
+
+
+def test_decode_rgb_luma_matches_pil(tmp_path, rng):
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    p = _save(tmp_path, "c.png", img, "RGB")
+    got = native.decode_png_gray(p).astype(int)
+    ref = np.asarray(Image.open(p).convert("L")).astype(int)
+    assert np.abs(got - ref).max() <= 1
+
+
+def test_decode_rgba_and_16bit(tmp_path, rng):
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    p = _save(tmp_path, "a.png", rgba, "RGBA")
+    assert native.decode_png_gray(p).shape == (8, 8)
+
+    g16 = rng.integers(0, 65536, (8, 8), dtype=np.uint16)
+    p16 = str(tmp_path / "g16.png")
+    Image.fromarray(g16).save(p16)
+    out = native.decode_png_gray(p16)
+    assert out.shape == (8, 8)
+    # strip_16 keeps the high byte
+    assert np.array_equal(out, (g16 >> 8).astype(np.uint8))
+
+
+def test_decode_errors(tmp_path):
+    with pytest.raises(IOError):
+        native.decode_png_gray(str(tmp_path / "missing.png"))
+    bad = str(tmp_path / "bad.png")
+    with open(bad, "wb") as f:
+        f.write(b"not a png at all")
+    with pytest.raises(IOError):
+        native.decode_png_gray(bad)
+
+
+def test_stream_in_order(tmp_path, rng):
+    paths, imgs = [], []
+    for i in range(30):
+        img = rng.integers(0, 256, (10 + i, 20), dtype=np.uint8)
+        paths.append(_save(tmp_path, f"s{i}.png", img, "L"))
+        imgs.append(img)
+    with native.NativeImageStream(paths, threads=4, depth=3) as s:
+        got = list(s)
+    assert len(got) == 30
+    for a, b in zip(got, imgs):
+        assert np.array_equal(a, b)
+
+
+def test_stream_empty_and_close_idempotent():
+    s = native.NativeImageStream([], threads=2, depth=2)
+    assert s.next() is None
+    s.close()
+    s.close()
+
+
+def test_stereo_stream_uses_native(tmp_path, rng):
+    """StereoImageStream end-to-end over the native prefetcher."""
+    n = 6
+    lefts, rights = [], []
+    for i in range(n):
+        l = rng.integers(0, 256, (12, 18), dtype=np.uint8)
+        r = rng.integers(0, 256, (12, 18), dtype=np.uint8)
+        _save(tmp_path, "L%06d.png" % i, l, "L")
+        _save(tmp_path, "R%06d.png" % i, r, "L")
+        lefts.append(l)
+        rights.append(r)
+    stream = StereoImageStream(str(tmp_path / "L%06d.png"),
+                               str(tmp_path / "R%06d.png"), prefetch=4)
+    frames = list(stream)
+    assert len(frames) == n
+    for (gl, gr), el, er in zip(frames, lefts, rights):
+        assert np.array_equal(gl, el) and np.array_equal(gr, er)
