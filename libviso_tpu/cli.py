@@ -54,11 +54,17 @@ def _cmd_kitti(args):
     os.makedirs(result_dir, exist_ok=True)
 
     cfg = PipelineConfig()
+    ckpt = None
+    if args.checkpoint_every > 0:
+        from libviso_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(os.path.join(result_dir, "checkpoints"),
+                                 every=args.checkpoint_every)
     t0 = time.perf_counter()
     with MetricsLogger(os.path.join(result_dir, "metrics.jsonl")) as ml:
         res = run_stereo_sequence(
             stream, P1, P2, cfg, seed=args.seed, backend=args.backend,
-            on_frame=None)
+            on_frame=None, checkpoint=ckpt)
         for s in res.stats:
             ml.log(s)
     dt = time.perf_counter() - t0
@@ -151,6 +157,10 @@ def main(argv=None):
     k.add_argument("--kitti-home")
     k.add_argument("--seed", type=int, default=0)
     k.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    k.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="snapshot loop state every N frames under "
+                        "results/.../checkpoints and resume from the "
+                        "latest matching checkpoint (0 = off)")
     k.set_defaults(fn=_cmd_kitti)
 
     s = sub.add_parser("synth", help="synthetic-sequence smoke run")

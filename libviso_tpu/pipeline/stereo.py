@@ -174,7 +174,8 @@ class SequenceResult:
 def run_stereo_sequence(frames: Iterable, P1, P2,
                         cfg: PipelineConfig = PipelineConfig(),
                         seed: int = 0, backend: str = "xla",
-                        on_frame=None, dbg_dir=None) -> SequenceResult:
+                        on_frame=None, dbg_dir=None,
+                        checkpoint=None) -> SequenceResult:
     """Host driver: stream stereo pairs through the jitted step.
 
     The analog of the reference `sequence_odometry` loop + the `kitti`
@@ -187,6 +188,13 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
       on_frame: optional callback(frame_index, FrameOutput) for metrics.
       dbg_dir: write per-frame debug artifacts here (C17; the reference's
         param.save_debug + dbg_dir, src/viso.cpp:1232-1310).
+      checkpoint: optional utils.checkpoint.CheckpointManager.  The loop
+        state is snapshotted every `checkpoint.every` frames and, when a
+        checkpoint with a matching config fingerprint exists, the run
+        resumes after its last frame (already-done frames are skipped;
+        per-frame keys are fold_in(key, t), so resume is bit-exact).
+        Reference has no analog — it writes poses only at the end
+        (src/kitti.cpp:111-116).  SURVEY.md §5.4.
     """
     from libviso_tpu.utils.debug_viz import DebugDumper
 
@@ -200,8 +208,47 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
 
     state = empty_state(cfg)
     motions, oks, stats = [], [], []
+    t0 = 0
+    fingerprint = None
+    if checkpoint is not None:
+        from libviso_tpu.utils.checkpoint import (
+            Checkpoint,
+            config_fingerprint,
+        )
+
+        fingerprint = config_fingerprint(cfg, seed, backend)
+        ck = checkpoint.latest()
+        if ck is not None:
+            if ck.fingerprint != fingerprint:
+                raise ValueError(
+                    "checkpoint fingerprint mismatch: checkpoint was "
+                    f"written with different cfg/seed/backend "
+                    f"({ck.fingerprint} != {fingerprint})")
+            treedef = jax.tree_util.tree_structure(state)
+            state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(leaf) for leaf in ck.state_leaves])
+            motions = [m for m in ck.motions]
+            oks = [bool(o) for o in ck.oks]
+            stats = list(ck.stats)
+            t0 = ck.next_frame
+
+    def _snapshot(next_frame):
+        from libviso_tpu.utils.checkpoint import Checkpoint
+
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state)]
+        checkpoint.save(Checkpoint(
+            next_frame=next_frame,
+            motions=np.stack(motions) if motions else np.zeros((0, 6)),
+            oks=np.asarray(oks, bool),
+            state_leaves=leaves,
+            stats=stats,
+            fingerprint=fingerprint,
+        ))
+
     prev_host = None
     for t, (im1, im2) in enumerate(frames):
+        if t < t0:  # already covered by the restored checkpoint
+            continue
         # ship uint8 when possible (4x less host->device traffic); the
         # detector casts on-device
         im1 = jnp.asarray(im1)
@@ -237,6 +284,11 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
         })
         if on_frame is not None:
             on_frame(t, out)
+        if checkpoint is not None and (t + 1) % checkpoint.every == 0:
+            _snapshot(t + 1)
+
+    if checkpoint is not None and motions:
+        _snapshot(len(motions))  # final snapshot so a rerun is a no-op
 
     motions = np.stack(motions) if motions else np.zeros((0, 6))
     oks_arr = np.asarray(oks, bool)
