@@ -115,6 +115,29 @@ def main():
         jax.block_until_ready(out)
         fps = n / (time.perf_counter() - t0)
 
+    if "--profile" in sys.argv:
+        # Per-kernel roofline report (SURVEY.md §5.1) to stderr so the
+        # driver's one-JSON-line stdout contract holds.
+        from libviso_tpu.utils.profiling import (
+            device_peaks,
+            profile_matcher,
+            profile_solver,
+        )
+
+        peak_f, peak_b = device_peaks()
+        print(f"device: {jax.devices()[0].device_kind} "
+              f"peak={peak_f and peak_f / 1e12} TFLOP/s "
+              f"bw={peak_b and peak_b / 1e9} GB/s", file=sys.stderr)
+        n = cfg.detector.num_slots
+        d = cfg.detector.descriptor_dim_padded
+        for st in (
+            profile_matcher(n, n, d, metric=metric, backend=backend,
+                            reps=reps),
+            profile_solver(cfg.ransac.num_hypotheses, cfg.ransac.gn_iters,
+                           n, reps=reps),
+        ):
+            print(st.pretty(), file=sys.stderr)
+
     print(json.dumps({
         "metric": "stereo_vo_fps",
         "value": round(fps, 3),

@@ -1,0 +1,219 @@
+"""Profiling + roofline reporting (SURVEY.md §5.1).
+
+The reference's only instrumentation is clock() deltas around the matcher
+and frame loop (src/viso.cpp:674,725,1203,1328).  A TPU engine needs more:
+BASELINE.md's kernel-efficiency target is stated in FLOP utilization, so
+this module pairs
+
+  * analytic FLOP/byte models of the hot kernels (the match-cost matrix and
+    the vmapped GN/RANSAC solver — the two compute sinks identified in
+    SURVEY.md §3.4/§3.5), with
+  * a steady-state timing harness and per-device peak tables,
+
+to report achieved GFLOP/s, GB/s, and fraction-of-peak per kernel, plus a
+`trace()` context manager around jax.profiler for full XLA timelines.
+
+Peaks are nominal public numbers per device generation; unknown device
+kinds (CPU test mesh, tunneled chips with opaque kind strings) degrade to
+achieved-rate-only reporting rather than fabricating a denominator.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+# (peak dense matmul FLOP/s bf16, peak HBM bytes/s) per chip, by substring
+# of jax's device_kind. Public nominal numbers.
+_PEAKS = {
+    "v6e": (918e12, 1640e9),
+    "v6": (918e12, 1640e9),
+    "v5p": (459e12, 2765e9),
+    "v5e": (197e12, 819e9),
+    "v5 lite": (197e12, 819e9),
+    "v4": (275e12, 1228e9),
+    "v3": (123e12, 900e9),
+}
+
+
+def device_peaks(device=None) -> Tuple[Optional[float], Optional[float]]:
+    """(peak_flops, peak_bandwidth) for a device, or (None, None)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peaks in _PEAKS.items():
+        if sub in kind:
+            return peaks
+    return None, None
+
+
+@dataclasses.dataclass
+class KernelStats:
+    name: str
+    seconds: float               # median steady-state wall time
+    flops: float                 # analytic FLOP count per invocation
+    bytes: float                 # analytic HBM traffic per invocation
+    gflops: float                # achieved
+    gbytes_per_s: float          # achieved
+    flop_util: Optional[float]   # fraction of device peak (None if unknown)
+    bw_util: Optional[float]
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def pretty(self) -> str:
+        util = ("  util={:.1%}".format(self.flop_util)
+                if self.flop_util is not None else "")
+        bw = ("  bw={:.1%}".format(self.bw_util)
+              if self.bw_util is not None else "")
+        return (f"{self.name}: {self.seconds * 1e3:.3f} ms  "
+                f"{self.gflops:.1f} GFLOP/s  "
+                f"{self.gbytes_per_s:.1f} GB/s{util}{bw}")
+
+
+def time_jitted(fn: Callable, args: tuple, reps: int = 20,
+                warmup: int = 3) -> float:
+    """Median steady-state seconds for one call of a jitted fn."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def profile_kernel(name: str, fn: Callable, args: tuple, flops: float,
+                   nbytes: float, reps: int = 20) -> KernelStats:
+    sec = time_jitted(fn, args, reps=reps)
+    peak_f, peak_b = device_peaks()
+    return KernelStats(
+        name=name, seconds=sec, flops=flops, bytes=nbytes,
+        gflops=flops / sec / 1e9,
+        gbytes_per_s=nbytes / sec / 1e9,
+        flop_util=(flops / sec / peak_f) if peak_f else None,
+        bw_util=(nbytes / sec / peak_b) if peak_b else None,
+    )
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace around a block; view with tensorboard/xprof."""
+    with jax.profiler.trace(logdir):
+        yield
+
+
+# ---------------------------------------------------------------------------
+# Analytic cost models for the hot kernels (SURVEY.md §6 workload constants).
+# ---------------------------------------------------------------------------
+
+def match_cost_model(n1: int, n2: int, d: int, metric: str = "l1",
+                     dtype_bytes: int = 4) -> Tuple[float, float]:
+    """(FLOPs, HBM bytes) for one dense descriptor-distance matrix.
+
+    l1: |a-b| summed over d -> 3 ops (sub, abs, add) per (i, j, k).
+    l2: expanded to a matmul (-2ab term) + norm terms -> 2 n1 n2 d MXU ops.
+    Bytes: descriptors in + distance matrix out (the position/epipolar
+    masks and 2-argmin fuse into the same pass).
+    """
+    if metric == "l1":
+        flops = 3.0 * n1 * n2 * d
+    else:
+        flops = 2.0 * n1 * n2 * d
+    nbytes = dtype_bytes * (n1 * d + n2 * d + n1 * n2)
+    return flops, nbytes
+
+
+def gn_cost_model(num_hypotheses: int, gn_iters: int, n_points: int
+                  ) -> Tuple[float, float]:
+    """(FLOPs, bytes) for the vmapped RANSAC+GN solve.
+
+    Per point per iteration: 4x6 Jacobian build (~90 ops incl. the rotation
+    chain), JtJ accumulation (4*36 mul-add = 288), Jtr (4*6*2 = 48),
+    residual/prediction (~40); 6x6 Cholesky solve is O(100) per hypothesis.
+    """
+    per_point = 90 + 288 + 48 + 40
+    flops = float(num_hypotheses) * gn_iters * (n_points * per_point + 150)
+    nbytes = 4.0 * num_hypotheses * n_points * (3 + 4 + 4)  # X, obs, pred
+    return flops, nbytes
+
+
+def profile_matcher(n1: int = 1280, n2: int = 1280, d: int = 128,
+                    metric: str = "l1", backend: str = "xla",
+                    reps: int = 20, seed: int = 0,
+                    chain: int = 16) -> KernelStats:
+    """Time the descriptor-distance kernel at KITTI-scale shapes.
+
+    `chain` iterations run inside ONE jit via lax.scan (each feeding a
+    scalar of its output back into the next input, so XLA can't dedupe or
+    elide them) — per-dispatch RPC latency, which dominates on tunneled
+    chips, amortizes away and the per-iteration time approaches true
+    kernel time.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from libviso_tpu.ops.matching import descriptor_distances
+
+    rng = np.random.default_rng(seed)
+    d1 = jnp.asarray(rng.standard_normal((n1, d)), jnp.float32)
+    d2 = jnp.asarray(rng.standard_normal((n2, d)), jnp.float32)
+
+    def body(carry, _):
+        dist = descriptor_distances(d1 + carry, d2, metric=metric,
+                                    backend=backend)
+        return dist[0, 0] * 1e-20, None
+
+    fn = jax.jit(lambda a, b: lax.scan(body, jnp.float32(0.0), None,
+                                       length=chain)[0])
+    flops, nbytes = match_cost_model(n1, n2, d, metric=metric)
+    st = profile_kernel(f"match_dist[{metric}/{backend}] "
+                        f"{n1}x{n2}x{d}", fn, (d1, d2),
+                        flops * chain, nbytes * chain, reps=reps)
+    st.seconds /= chain
+    return st
+
+
+def profile_solver(num_hypotheses: int = 64, gn_iters: int = 20,
+                   n_points: int = 1280, reps: int = 20,
+                   seed: int = 0, chain: int = 8) -> KernelStats:
+    """Time the vmapped RANSAC+GN pose solver at KITTI-scale shapes.
+
+    Chained like profile_matcher so per-dispatch latency amortizes.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from libviso_tpu.config import Calib, RansacConfig
+    from libviso_tpu.solvers.ransac import ransac_pose
+    from libviso_tpu.synthetic import kitti_projections
+
+    P1, P2 = kitti_projections()
+    calib = Calib.from_projections(P1, P2)
+    cfg = RansacConfig(num_hypotheses=num_hypotheses, gn_iters=gn_iters)
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.uniform(-10, 10, (n_points, 3)), jnp.float32)
+    obs = jnp.asarray(rng.uniform(0, 300, (n_points, 4)), jnp.float32)
+    valid = jnp.ones((n_points,), bool)
+    key = jax.random.PRNGKey(seed)
+
+    def body(carry, i):
+        est = ransac_pose(jax.random.fold_in(key, i), X + carry, obs,
+                          valid, calib, cfg)
+        return est.tr[0] * 1e-20, None
+
+    fn = jax.jit(lambda x, o: lax.scan(body, jnp.float32(0.0),
+                                       jnp.arange(chain))[0])
+    flops, nbytes = gn_cost_model(num_hypotheses, gn_iters, n_points)
+    st = profile_kernel(
+        f"ransac_gn K={num_hypotheses} iters={gn_iters} N={n_points}",
+        fn, (X, obs), flops * chain, nbytes * chain, reps=reps)
+    st.seconds /= chain
+    return st
