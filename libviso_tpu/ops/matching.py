@@ -52,8 +52,13 @@ def _l1_desc_dist_xla(d1, d2, row_chunk=128):
     Row-chunked so the (chunk, N2, D) broadcast stays small enough for XLA
     to fuse without an O(N1*N2*D) materialization.
     """
+    import math
+
     N1 = d1.shape[0]
-    assert N1 % row_chunk == 0, (N1, row_chunk)
+    # Largest divisor of N1 that fits: slot counts are powers of two in
+    # practice, so this stays near the requested chunk; degenerate N1
+    # degrades gracefully instead of asserting.
+    row_chunk = math.gcd(N1, row_chunk) or 1
 
     def body(d1_block):
         return jnp.sum(jnp.abs(d1_block[:, None, :] - d2[None, :, :]), axis=-1)
@@ -89,19 +94,13 @@ def descriptor_distances(d1, d2, metric="l1", backend="xla"):
     return _l1_desc_dist_xla(d1, d2)
 
 
-def match_descriptors(kp1: Keypoints, d1, kp2: Keypoints, d2,
-                      cfg: MatchConfig = MatchConfig(),
-                      F=None, backend="xla") -> MatchResult:
-    """Match view-1 keypoints to view-2 keypoints (one match per slot).
+def gated_distance_matrix(kp1: Keypoints, d1, kp2: Keypoints, d2,
+                          cfg: MatchConfig, F=None, backend="xla"):
+    """(N1, N2) descriptor-distance matrix with all gates applied (inf out).
 
-    Args:
-      kp1, kp2: fixed-size keypoint tensors.
-      d1, d2: (N, D) descriptor tensors (zero rows on invalid slots).
-      cfg: gates/thresholds; ``cfg.use_epipolar`` requires ``F``.
-      F: (3, 3) fundamental matrix with x2' F x1 = 0 for x1 in view 1
-        (the pipeline passes points as (p1=kp1, p2=kp2) exactly like the
-        reference's sampsonDistance(F, p1, p2) call, src/viso.cpp:698).
-      backend: 'xla' or 'pallas' for the descriptor-distance inner loop.
+    The position-radius, validity, and Sampson gates are per-pair, so this
+    works identically on a column shard of view 2 — the TP matcher
+    (parallel/tp_matching.py) calls it on local shards.
     """
     pos1 = kp1.xy
     pos2 = kp2.xy
@@ -120,19 +119,47 @@ def match_descriptors(kp1: Keypoints, d1, kp2: Keypoints, d2,
         ok &= jnp.isfinite(s) & (s <= cfg.sampson_thresh)
 
     dd = descriptor_distances(d1, d2, metric=cfg.metric, backend=backend)
-    dd = jnp.where(ok, dd, big)
+    return jnp.where(ok, dd, big)
 
+
+def two_smallest(dd):
+    """Row-wise (best, second_best, argmin) of a distance matrix."""
+    big = jnp.asarray(jnp.inf, dtype=dd.dtype)
     best_idx = jnp.argmin(dd, axis=1).astype(jnp.int32)
     best = jnp.take_along_axis(dd, best_idx[:, None], axis=1)[:, 0]
     # Second best: mask the winner out, take the min of the rest.
     cols = jnp.arange(dd.shape[1], dtype=jnp.int32)
     dd2 = jnp.where(cols[None, :] == best_idx[:, None], big, dd)
     second = jnp.min(dd2, axis=1)
+    return best, second, best_idx
 
-    valid = jnp.isfinite(best) & kp1.valid
+
+def finalize_match(best, second, best_idx, kp1_valid,
+                   cfg: MatchConfig) -> MatchResult:
+    """Apply the ratio test + validity and build the MatchResult."""
+    big = jnp.asarray(jnp.inf, dtype=best.dtype)
+    valid = jnp.isfinite(best) & kp1_valid
     if cfg.use_ratio:
         valid &= best < second * cfg.ratio
-
     idx = jnp.where(valid, best_idx, -1)
     dist = jnp.where(valid, best, big)
     return MatchResult(idx=idx, dist=dist, valid=valid)
+
+
+def match_descriptors(kp1: Keypoints, d1, kp2: Keypoints, d2,
+                      cfg: MatchConfig = MatchConfig(),
+                      F=None, backend="xla") -> MatchResult:
+    """Match view-1 keypoints to view-2 keypoints (one match per slot).
+
+    Args:
+      kp1, kp2: fixed-size keypoint tensors.
+      d1, d2: (N, D) descriptor tensors (zero rows on invalid slots).
+      cfg: gates/thresholds; ``cfg.use_epipolar`` requires ``F``.
+      F: (3, 3) fundamental matrix with x2' F x1 = 0 for x1 in view 1
+        (the pipeline passes points as (p1=kp1, p2=kp2) exactly like the
+        reference's sampsonDistance(F, p1, p2) call, src/viso.cpp:698).
+      backend: 'xla' or 'pallas' for the descriptor-distance inner loop.
+    """
+    dd = gated_distance_matrix(kp1, d1, kp2, d2, cfg, F=F, backend=backend)
+    best, second, best_idx = two_smallest(dd)
+    return finalize_match(best, second, best_idx, kp1.valid, cfg)

@@ -7,11 +7,17 @@ from libviso_tpu.parallel.odometry import (
     run_sharded_odometry,
     stitch_chunk_motions,
 )
+from libviso_tpu.parallel.tp_matching import (
+    build_tp_matcher,
+    tp_match_descriptors,
+)
 
 __all__ = [
     "make_mesh",
     "build_chunk_odometry",
+    "build_tp_matcher",
     "chunk_frames_with_halo",
     "run_sharded_odometry",
     "stitch_chunk_motions",
+    "tp_match_descriptors",
 ]
