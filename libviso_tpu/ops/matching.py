@@ -146,6 +146,75 @@ def finalize_match(best, second, best_idx, kp1_valid,
     return MatchResult(idx=idx, dist=dist, valid=valid)
 
 
+def match_frame_triple(kp1: Keypoints, d1, kp2: Keypoints, d2,
+                       kp1p: Keypoints, d1p, kp2p: Keypoints, d2p,
+                       stereo: MatchConfig, temporal: MatchConfig,
+                       F, backend="xla"):
+    """The per-frame match workload as ONE vmapped 3-problem batch.
+
+    The reference calls match_desc three times per frame — LR stereo
+    (epipolar-gated), left-temporal and right-temporal (ratio-tested)
+    (src/viso.cpp:1240,1264,1275).  The three (N, N) problems share shapes
+    and radius, so they batch into a single (3, N, N) computation: one
+    kernel launch instead of three, 3x the arithmetic intensity per
+    dispatch.  Gates that differ per problem (Sampson, ratio) become traced
+    per-problem flags.  Bit-identical to three match_descriptors calls
+    (tested).
+
+    Returns (match_lr, match_11, match_22).
+    """
+    if (stereo.radius != temporal.radius
+            or stereo.metric != temporal.metric):
+        mlr = match_descriptors(kp1, d1, kp2, d2, stereo, F=F,
+                                backend=backend)
+        m11 = match_descriptors(kp1, d1, kp1p, d1p, temporal,
+                                backend=backend)
+        m22 = match_descriptors(kp2, d2, kp2p, d2p, temporal,
+                                backend=backend)
+        return mlr, m11, m22
+
+    radius = stereo.radius
+    metric = stereo.metric
+    sampson_thresh = stereo.sampson_thresh
+    F = jnp.asarray(F)
+
+    q_xy = jnp.stack([kp1.xy, kp1.xy, kp2.xy])
+    q_valid = jnp.stack([kp1.valid, kp1.valid, kp2.valid])
+    q_d = jnp.stack([d1, d1, d2])
+    t_xy = jnp.stack([kp2.xy, kp1p.xy, kp2p.xy])
+    t_valid = jnp.stack([kp2.valid, kp1p.valid, kp2p.valid])
+    t_d = jnp.stack([d2, d1p, d2p])
+
+    use_epi = jnp.asarray([stereo.use_epipolar, False, False])
+    use_rat = jnp.asarray([stereo.use_ratio, temporal.use_ratio,
+                           temporal.use_ratio])
+    ratios = jnp.asarray([stereo.ratio, temporal.ratio, temporal.ratio],
+                         d1.dtype)
+
+    def one(qxy, qv, qd, txy, tv, td, epi, rat, ratio):
+        big = jnp.asarray(jnp.inf, dtype=qd.dtype)
+        pos_l1 = (jnp.abs(qxy[:, None, 0] - txy[None, :, 0])
+                  + jnp.abs(qxy[:, None, 1] - txy[None, :, 1]))
+        ok = pos_l1 < radius
+        ok &= qv[:, None] & tv[None, :]
+        s = sampson_distance(F, qxy[:, None, :], txy[None, :, :])
+        epi_ok = jnp.isfinite(s) & (s <= sampson_thresh)
+        ok &= jnp.where(epi, epi_ok, True)
+        dd = descriptor_distances(qd, td, metric=metric, backend=backend)
+        dd = jnp.where(ok, dd, big)
+        best, second, bidx = two_smallest(dd)
+        valid = jnp.isfinite(best) & qv
+        valid &= jnp.where(rat, best < second * ratio, True)
+        idx = jnp.where(valid, bidx, -1)
+        dist = jnp.where(valid, best, big)
+        return MatchResult(idx=idx, dist=dist, valid=valid)
+
+    res = jax.vmap(one)(q_xy, q_valid, q_d, t_xy, t_valid, t_d,
+                        use_epi, use_rat, ratios)
+    pick = lambda i: jax.tree_util.tree_map(lambda x: x[i], res)
+    return pick(0), pick(1), pick(2)
+
+
 def match_descriptors(kp1: Keypoints, d1, kp2: Keypoints, d2,
                       cfg: MatchConfig = MatchConfig(),
                       F=None, backend="xla") -> MatchResult:

@@ -34,7 +34,7 @@ from libviso_tpu.geometry.se3 import chain_motions
 from libviso_tpu.geometry.triangulate import triangulate_rectified
 from libviso_tpu.ops.circle import circle_filter
 from libviso_tpu.ops.features import Keypoints, detect_and_describe
-from libviso_tpu.ops.matching import match_descriptors
+from libviso_tpu.ops.matching import match_frame_triple
 from libviso_tpu.solvers.ransac import ransac_pose
 
 
@@ -106,12 +106,21 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
     F = jnp.asarray(F)
 
     def step(state: FrameState, im1, im2, key):
-        kp1, d1 = detect_and_describe(im1, cfg.detector)
-        kp2, d2 = detect_and_describe(im2, cfg.detector)
+        # Both views detected as one vmapped batch: one fused kernel
+        # launch, 2x arithmetic intensity (vs the reference's two serial
+        # detector.detect calls, viso.cpp:1226-1227).
+        kps, ds = jax.vmap(
+            lambda im: detect_and_describe(im, cfg.detector)
+        )(jnp.stack([im1, im2]))
+        pick = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+        kp1, d1 = pick(kps, 0), ds[0]
+        kp2, d2 = pick(kps, 1), ds[1]
 
-        # Stereo match with epipolar gate (viso.cpp:1240).
-        mlr = match_descriptors(kp1, d1, kp2, d2, cfg.stereo_match, F=F,
-                                backend=backend)
+        # All three match problems (LR epipolar-gated + both temporal,
+        # viso.cpp:1240,1264,1275) as ONE vmapped (3, N, N) batch.
+        mlr, m11, m22 = match_frame_triple(
+            kp1, d1, kp2, d2, state.kp1, state.d1, state.kp2, state.d2,
+            cfg.stereo_match, cfg.temporal_match, F, backend=backend)
 
         # Per-left-slot observations (u_l, v_l, u_r, v_r) and 3D points
         # (collect_matches + triangulate_rectified, viso.cpp:1246-1247).
@@ -119,12 +128,6 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
         obs = jnp.concatenate([kp1.xy, kp2.xy[r_safe]], axis=-1)
         X = triangulate_rectified(obs, calib.f, calib.base, calib.cu,
                                   calib.cv)
-
-        # Temporal matches against the previous frame (viso.cpp:1264, 1275).
-        m11 = match_descriptors(kp1, d1, state.kp1, state.d1,
-                                cfg.temporal_match, backend=backend)
-        m22 = match_descriptors(kp2, d2, state.kp2, state.d2,
-                                cfg.temporal_match, backend=backend)
 
         # Circular consistency (viso.cpp:1282).
         circ = circle_filter(mlr.idx, state.match_lr, m11.idx, m22.idx)

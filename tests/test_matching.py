@@ -139,3 +139,45 @@ def test_circle_filter_perfect_tracking():
     res = circle_filter(ident, ident, ident, ident)
     assert int(res.count) == N
     np.testing.assert_array_equal(np.asarray(res.left_prev), np.arange(N))
+
+
+def test_match_frame_triple_bit_equal(rng):
+    """Fused 3-problem matcher == three separate match_descriptors calls."""
+    import jax.numpy as jnp
+
+    from libviso_tpu.config import MatchConfig
+    from libviso_tpu.ops.features import Keypoints
+    from libviso_tpu.ops.matching import match_descriptors, match_frame_triple
+
+    def mk(n, d):
+        return (
+            Keypoints(
+                xy=jnp.asarray(rng.uniform(0, [300, 100], (n, 2)), jnp.float32),
+                response=jnp.asarray(rng.random(n), jnp.float32),
+                valid=jnp.asarray(rng.random(n) > 0.1),
+            ),
+            jnp.asarray(rng.standard_normal((n, d)), jnp.float32),
+        )
+
+    n, d = 64, 32
+    kp1, d1 = mk(n, d)
+    kp2, d2 = mk(n, d)
+    kp1p, d1p = mk(n, d)
+    kp2p, d2p = mk(n, d)
+    F = jnp.asarray(rng.standard_normal((3, 3)), jnp.float32)
+    stereo = MatchConfig.stereo()
+    temporal = MatchConfig.temporal()
+
+    got = match_frame_triple(kp1, d1, kp2, d2, kp1p, d1p, kp2p, d2p,
+                             stereo, temporal, F)
+    ref = (
+        match_descriptors(kp1, d1, kp2, d2, stereo, F=F),
+        match_descriptors(kp1, d1, kp1p, d1p, temporal),
+        match_descriptors(kp2, d2, kp2p, d2p, temporal),
+    )
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g.idx), np.asarray(r.idx))
+        np.testing.assert_array_equal(np.asarray(g.valid),
+                                      np.asarray(r.valid))
+        np.testing.assert_allclose(np.asarray(g.dist), np.asarray(r.dist),
+                                   rtol=0, atol=0)
