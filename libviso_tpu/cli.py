@@ -149,6 +149,33 @@ def _cmd_mono(args):
     }))
 
 
+def _cmd_eval(args):
+    """Trajectory evaluation (the reference defers this to the external
+    KITTI devkit, src/kitti.cpp:49-64; we ship it in-repo per BASELINE.md)."""
+    from libviso_tpu.io.kitti import load_poses_kitti
+    from libviso_tpu.utils.metrics import (
+        ate_rmse,
+        kitti_trajectory_errors,
+        rpe_errors,
+    )
+
+    est = load_poses_kitti(args.est)
+    gt = load_poses_kitti(args.gt)
+    n = min(len(est), len(gt))
+    if n < 2:
+        sys.exit("need at least 2 poses in both files")
+    est, gt = est[:n], gt[:n]
+    terr, rerr = rpe_errors(est, gt, delta=args.delta)
+    out = {
+        "frames": n,
+        "ate_rmse_m": ate_rmse(est, gt),
+        "rpe_trans_mean_m": float(terr.mean()),
+        "rpe_rot_mean_rad": float(rerr.mean()),
+    }
+    out.update(kitti_trajectory_errors(est, gt))
+    print(json.dumps(out))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="libviso_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -182,6 +209,13 @@ def main(argv=None):
     m.add_argument("--out", help="KITTI-format pose output path")
     m.add_argument("--seed", type=int, default=0)
     m.set_defaults(fn=_cmd_mono)
+
+    e = sub.add_parser("eval", help="ATE/RPE + KITTI devkit-style errors "
+                                    "between two pose files")
+    e.add_argument("est", help="estimated poses (KITTI 3x4 rows)")
+    e.add_argument("gt", help="ground-truth poses (KITTI 3x4 rows)")
+    e.add_argument("--delta", type=int, default=1, help="RPE frame gap")
+    e.set_defaults(fn=_cmd_eval)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,68 @@
+"""CLI drivers (SURVEY.md C1/C3 glue): eval subcommand + arg wiring."""
+
+import json
+
+import numpy as np
+import pytest
+
+from libviso_tpu import cli
+from libviso_tpu.io.kitti import save_poses_kitti
+
+
+def _traj(T, step=1.0, drift=0.0):
+    poses = [np.eye(4)]
+    for i in range(1, T):
+        p = poses[-1].copy()
+        p[2, 3] += step
+        p[0, 3] += drift
+        poses.append(p)
+    return np.stack(poses)
+
+
+def test_eval_identical_trajectories(tmp_path, capsys):
+    gt = _traj(20)
+    est_p = str(tmp_path / "est.txt")
+    gt_p = str(tmp_path / "gt.txt")
+    save_poses_kitti(est_p, gt)
+    save_poses_kitti(gt_p, gt)
+    cli.main(["eval", est_p, gt_p])
+    out = json.loads(capsys.readouterr().out)
+    assert out["frames"] == 20
+    assert out["ate_rmse_m"] == pytest.approx(0.0, abs=1e-9)
+    assert out["rpe_trans_mean_m"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_eval_detects_drift(tmp_path, capsys):
+    gt = _traj(30)
+    est = _traj(30, drift=0.1)
+    est_p = str(tmp_path / "est.txt")
+    gt_p = str(tmp_path / "gt.txt")
+    save_poses_kitti(est_p, est)
+    save_poses_kitti(gt_p, gt)
+    cli.main(["eval", est_p, gt_p])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ate_rmse_m"] > 0.5
+    assert out["rpe_trans_mean_m"] == pytest.approx(0.1, rel=1e-6)
+
+
+def test_eval_truncates_to_shorter(tmp_path, capsys):
+    est_p = str(tmp_path / "est.txt")
+    gt_p = str(tmp_path / "gt.txt")
+    save_poses_kitti(est_p, _traj(10))
+    save_poses_kitti(gt_p, _traj(15))
+    cli.main(["eval", est_p, gt_p])
+    assert json.loads(capsys.readouterr().out)["frames"] == 10
+
+
+def test_eval_too_short_exits(tmp_path):
+    est_p = str(tmp_path / "est.txt")
+    gt_p = str(tmp_path / "gt.txt")
+    save_poses_kitti(est_p, _traj(1))
+    save_poses_kitti(gt_p, _traj(1))
+    with pytest.raises(SystemExit):
+        cli.main(["eval", est_p, gt_p])
+
+
+def test_unknown_command_exits():
+    with pytest.raises(SystemExit):
+        cli.main(["nope"])
