@@ -7,6 +7,7 @@ from libviso_tpu.parallel.odometry import (
     run_sharded_odometry,
     stitch_chunk_motions,
 )
+from libviso_tpu.parallel.ba_sharding import sharded_bundle_adjust
 from libviso_tpu.parallel.tp_matching import (
     build_tp_matcher,
     tp_match_descriptors,
@@ -18,6 +19,7 @@ __all__ = [
     "build_tp_matcher",
     "chunk_frames_with_halo",
     "run_sharded_odometry",
+    "sharded_bundle_adjust",
     "stitch_chunk_motions",
     "tp_match_descriptors",
 ]

@@ -75,24 +75,38 @@ class KernelStats:
                 f"{self.gbytes_per_s:.1f} GB/s{util}{bw}")
 
 
-def time_jitted(fn: Callable, args: tuple, reps: int = 20,
-                warmup: int = 3) -> float:
-    """Median steady-state seconds for one call of a jitted fn."""
-    for _ in range(warmup):
-        out = fn(*args)
+def time_jitted(fn: Callable, args: tuple = (), reps: int = 20,
+                warmup: int = 3,
+                make_args: Optional[Callable[[int], tuple]] = None) -> float:
+    """Median steady-state seconds for one call of a jitted fn.
+
+    Pass ``make_args(i) -> args`` to vary the inputs every repetition.
+    This is not optional hygiene on tunneled backends: the transport
+    memoizes executions with bit-identical argument buffers after a few
+    repeats, so static-arg timing collapses to cache-hit latency and
+    reports physically impossible rates.  ``make_args`` should be cheap
+    (e.g. return pre-staged device arrays indexed by ``i``).
+    """
+    if make_args is None:
+        make_args = lambda i: args
+    for i in range(warmup):
+        out = fn(*make_args(-1 - i))
     jax.block_until_ready(out)
     times = []
-    for _ in range(reps):
+    for i in range(reps):
+        a = make_args(i)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*a)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
 
 def profile_kernel(name: str, fn: Callable, args: tuple, flops: float,
-                   nbytes: float, reps: int = 20) -> KernelStats:
-    sec = time_jitted(fn, args, reps=reps)
+                   nbytes: float, reps: int = 20,
+                   make_args: Optional[Callable[[int], tuple]] = None
+                   ) -> KernelStats:
+    sec = time_jitted(fn, args, reps=reps, make_args=make_args)
     peak_f, peak_b = device_peaks()
     return KernelStats(
         name=name, seconds=sec, flops=flops, bytes=nbytes,
@@ -166,17 +180,22 @@ def profile_matcher(n1: int = 1280, n2: int = 1280, d: int = 128,
     d1 = jnp.asarray(rng.standard_normal((n1, d)), jnp.float32)
     d2 = jnp.asarray(rng.standard_normal((n2, d)), jnp.float32)
 
-    def body(carry, _):
-        dist = descriptor_distances(d1 + carry, d2, metric=metric,
-                                    backend=backend)
-        return dist[0, 0] * 1e-20, None
+    def fn(c0, a, b):
+        def body(carry, _):
+            dist = descriptor_distances(a + carry, b, metric=metric,
+                                        backend=backend)
+            # full-output sum: DCE-proof (a sliced consumer lets XLA
+            # compute a single row) and non-simplifiable (|.| / sqrt
+            # block algebraic loop hoisting)
+            return jnp.sum(dist) * 1e-20, None
+        return lax.scan(body, c0, None, length=chain)[0]
 
-    fn = jax.jit(lambda a, b: lax.scan(body, jnp.float32(0.0), None,
-                                       length=chain)[0])
+    fn = jax.jit(fn)
     flops, nbytes = match_cost_model(n1, n2, d, metric=metric)
     st = profile_kernel(f"match_dist[{metric}/{backend}] "
-                        f"{n1}x{n2}x{d}", fn, (d1, d2),
-                        flops * chain, nbytes * chain, reps=reps)
+                        f"{n1}x{n2}x{d}", fn, (),
+                        flops * chain, nbytes * chain, reps=reps,
+                        make_args=lambda i: (jnp.float32(i) * 1e-9, d1, d2))
     st.seconds /= chain
     return st
 
@@ -204,16 +223,18 @@ def profile_solver(num_hypotheses: int = 64, gn_iters: int = 20,
     valid = jnp.ones((n_points,), bool)
     key = jax.random.PRNGKey(seed)
 
-    def body(carry, i):
-        est = ransac_pose(jax.random.fold_in(key, i), X + carry, obs,
-                          valid, calib, cfg)
-        return est.tr[0] * 1e-20, None
+    def fn(c0, x, o):
+        def body(carry, i):
+            est = ransac_pose(jax.random.fold_in(key, i), x + carry, o,
+                              valid, calib, cfg)
+            return jnp.sum(est.tr) * 1e-20, None
+        return lax.scan(body, c0, jnp.arange(chain))[0]
 
-    fn = jax.jit(lambda x, o: lax.scan(body, jnp.float32(0.0),
-                                       jnp.arange(chain))[0])
+    fn = jax.jit(fn)
     flops, nbytes = gn_cost_model(num_hypotheses, gn_iters, n_points)
     st = profile_kernel(
         f"ransac_gn K={num_hypotheses} iters={gn_iters} N={n_points}",
-        fn, (X, obs), flops * chain, nbytes * chain, reps=reps)
+        fn, (), flops * chain, nbytes * chain, reps=reps,
+        make_args=lambda i: (jnp.float32(i) * 1e-9, X, obs))
     st.seconds /= chain
     return st

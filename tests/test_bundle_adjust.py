@@ -99,3 +99,36 @@ def test_ba_sharded_landmarks_match_unsharded(rng):
                                np.asarray(ref.poses), atol=1e-4)
     np.testing.assert_allclose(float(out.cost), float(ref.cost), rtol=0.1,
                                atol=1e-6)
+
+
+def test_sharded_bundle_adjust_api(rng):
+    """Explicit P5 entry point: enforced landmark sharding in and out."""
+    from libviso_tpu.parallel import make_mesh
+    from libviso_tpu.parallel.ba_sharding import sharded_bundle_adjust
+
+    poses, X, obs, mask = make_window(rng, W=4, L=256)
+    poses_n = poses + 0.005
+    poses_n = poses_n.at[0].set(poses[0])
+
+    ref = bundle_adjust(poses_n, X, obs, mask, CALIB, iters=8)
+    mesh = make_mesh(n_data=1, n_model=8)
+    out = sharded_bundle_adjust(mesh, poses_n, X, obs, mask, CALIB, iters=8)
+
+    np.testing.assert_allclose(np.asarray(out.poses),
+                               np.asarray(ref.poses), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.landmarks),
+                               np.asarray(ref.landmarks), atol=1e-3)
+    # landmarks really are distributed over the 8 devices
+    assert len(out.landmarks.sharding.device_set) == 8
+    # poses replicated
+    assert out.poses.sharding.is_fully_replicated
+
+
+def test_sharded_bundle_adjust_validates(rng):
+    from libviso_tpu.parallel import make_mesh
+    from libviso_tpu.parallel.ba_sharding import sharded_bundle_adjust
+
+    poses, X, obs, mask = make_window(rng, W=3, L=100)  # 100 % 8 != 0
+    mesh = make_mesh(n_data=1, n_model=8)
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_bundle_adjust(mesh, poses, X, obs, mask, CALIB)
