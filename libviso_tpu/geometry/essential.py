@@ -2,13 +2,12 @@
 
 The reference's mono path calls OpenCV's ``findEssentialMat`` (5-point +
 RANSAC, src/viso.cpp:1384) and then *stops* — it never recovers R, t or
-chains poses (src/viso.cpp:1393-1395).  The TPU build replaces the
-polynomial 5-point solver with a fully batched **8-point** estimator inside
-RANSAC (one batched SVD over all hypotheses — polynomial root-finding is
-compiler-hostile; the 8-point minimal system is one more correspondence per
-sample for the same robustness pattern, documented divergence) and
-completes the pipeline: E -> (R, t) by cheirality voting, scale-ambiguous
-pose chaining.
+chains poses (src/viso.cpp:1393-1395).  The TPU build offers both minimal
+solvers inside a fully batched RANSAC — the **8-point** estimator (one
+batched SVD over all hypotheses) and the **Nister 5-point**
+(geometry/five_point.py, exact reference parity, robust to planar scenes) —
+and completes the pipeline: E -> (R, t) by cheirality voting,
+scale-ambiguous pose chaining.
 """
 
 from __future__ import annotations
@@ -143,34 +142,68 @@ class EssentialResult(NamedTuple):
 
 def ransac_essential(key, x1, x2, valid=None, num_hypotheses=128,
                      sampson_thresh=1e-5, min_inliers=16,
-                     sample_size=8) -> EssentialResult:
+                     sample_size=8, method="8pt") -> EssentialResult:
     """Batched RANSAC essential-matrix estimation on normalized points.
 
-    All hypotheses evaluated simultaneously: Gumbel-top-k sampling of
-    ``sample_size`` correspondences, batched 8-point solve, Sampson-distance
-    scoring in normalized coordinates, final refit on the best support set
-    (weighted 8-point over all inliers).
+    All hypotheses evaluated simultaneously: Gumbel-top-k sampling,
+    batched minimal solve, Sampson-distance scoring in normalized
+    coordinates, final refit on the best support set (weighted 8-point
+    over all inliers).
+
+    ``method``: '8pt' (default — one SVD per hypothesis) or '5pt' (the
+    Nister minimal solver, geometry/five_point.py — exact reference
+    parity with OpenCV findEssentialMat, src/viso.cpp:1384, and immune to
+    the planar-scene degeneracy of the 8-point solver).  With '5pt' every
+    hypothesis contributes up to 22 candidate models, all scored.
     """
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
     N = x1.shape[0]
     if valid is None:
         valid = jnp.ones(N, bool)
+    if method == "5pt":
+        sample_size = 5
 
     gumbel = jax.random.gumbel(key, (num_hypotheses, N), dtype=x1.dtype)
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
     _, idx = jax.lax.top_k(scores, sample_size)
 
-    E = eight_point_E(x1[idx], x2[idx])  # (H, 3, 3)
-    s = sampson_distance(E[:, None], x1[None], x2[None])  # (H, N)
-    inl = (s < sampson_thresh) & valid[None, :]
+    if method == "5pt":
+        from libviso_tpu.geometry.five_point import five_point_E
+
+        Ec, cand_ok = five_point_E(x1[idx], x2[idx])   # (H, 22, 3, 3)
+        E = Ec.reshape((-1, 3, 3))                     # (H*22, 3, 3)
+        cand_ok = cand_ok.reshape(-1)
+        s = sampson_distance(E[:, None], x1[None], x2[None])
+        inl = (s < sampson_thresh) & valid[None, :] & cand_ok[:, None]
+    elif method == "8pt":
+        E = eight_point_E(x1[idx], x2[idx])  # (H, 3, 3)
+        s = sampson_distance(E[:, None], x1[None], x2[None])  # (H, N)
+        inl = (s < sampson_thresh) & valid[None, :]
+    else:
+        raise ValueError(f"unknown method {method!r}")
     counts = jnp.sum(inl, axis=-1)
     best = jnp.argmax(counts)
 
     w = inl[best].astype(x1.dtype)
     E_refit = eight_point_E(x1, x2, weights=w)
+    # second refit round on the refreshed support set (IRLS-style): the
+    # enlarged inlier set after round 1 sharpens the estimate
+    s_1 = sampson_distance(E_refit, x1, x2)
+    w2 = ((s_1 < sampson_thresh) & valid).astype(x1.dtype)
+    E_refit = eight_point_E(x1, x2, weights=w2)
     s_f = sampson_distance(E_refit, x1, x2)
     final = (s_f < sampson_thresh) & valid
     n = jnp.sum(final)
-    return EssentialResult(E=E_refit, inliers=final, num_inliers=n,
+    # LO-RANSAC guard: a least-squares refit can DEGRADE the model (e.g.
+    # the linear system goes rank-deficient on planar scenes, where the
+    # 5-point minimal model is fine).  The refit is usually slightly more
+    # accurate, so keep it unless it LOSES a meaningful fraction of the
+    # minimal model's support (degeneracy collapses support catastrophically,
+    # not marginally).
+    keep_refit = n.astype(x1.dtype) >= 0.8 * counts[best].astype(x1.dtype)
+    E_out = jnp.where(keep_refit, E_refit, E[best])
+    final = jnp.where(keep_refit, final, inl[best])
+    n = jnp.where(keep_refit, n, counts[best])
+    return EssentialResult(E=E_out, inliers=final, num_inliers=n,
                            ok=n >= min_inliers)

@@ -54,13 +54,15 @@ def empty_mono_state(cfg: PipelineConfig, dtype=jnp.float32) -> MonoState:
 
 
 def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
-                    sampson_thresh=2e-5, backend: str = "xla"):
+                    sampson_thresh=2e-5, backend: str = "xla",
+                    method: str = "5pt"):
     """Jittable mono frame step.
 
     Pipeline per frame (reference order, completed):
       detect/describe -> short-radius temporal match (viso.cpp:1365-1367)
       -> normalize via K^-1 (viso.cpp:1382-1383)
-      -> batched-RANSAC essential matrix (replaces findEssentialMat)
+      -> batched-RANSAC essential matrix: Nister 5-point by default
+         (exact findEssentialMat parity, geometry/five_point.py) or 8pt
       -> epipolar re-match with the induced gate (viso.cpp:1386-1390)
       -> re-estimate E on the re-matched set -> recover (R, t) [new]
     """
@@ -85,7 +87,8 @@ def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
         k1, k2 = jax.random.split(key)
         est1 = ransac_essential(k1, xn_cur, xn_prev, valid=m.valid,
                                 num_hypotheses=num_hypotheses,
-                                sampson_thresh=sampson_thresh)
+                                sampson_thresh=sampson_thresh,
+                                method=method)
 
         # epipolar re-match under the induced fundamental matrix
         F = jnp.asarray(Kinv.T, jnp.float32) @ est1.E @ jnp.asarray(
@@ -102,7 +105,8 @@ def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
 
         est2 = ransac_essential(k2, xn_cur2, xn_prev2, valid=m2.valid,
                                 num_hypotheses=num_hypotheses,
-                                sampson_thresh=sampson_thresh)
+                                sampson_thresh=sampson_thresh,
+                                method=method)
 
         R, t, good, n_good = recover_pose(est2.E, xn_cur2, xn_prev2,
                                           valid=est2.inliers)
@@ -129,11 +133,12 @@ class MonoResult:
 
 def run_mono_sequence(frames: Iterable, K,
                       cfg: PipelineConfig = None,
-                      seed: int = 0, backend: str = "xla") -> MonoResult:
+                      seed: int = 0, backend: str = "xla",
+                      method: str = "5pt") -> MonoResult:
     """Host driver for the monocular pipeline (calib_sfm.cpp analog)."""
     if cfg is None:
         cfg = PipelineConfig.mono()
-    step = jax.jit(build_mono_step(K, cfg, backend=backend))
+    step = jax.jit(build_mono_step(K, cfg, backend=backend, method=method))
     key = jax.random.PRNGKey(seed)
 
     state = empty_mono_state(cfg)
