@@ -134,7 +134,8 @@ def _cmd_mono(args):
             i += 1
 
     t0 = time.perf_counter()
-    res = run_mono_sequence(frames(), K, seed=args.seed)
+    res = run_mono_sequence(frames(), K, seed=args.seed,
+                            method=args.method)
     dt = time.perf_counter() - t0
     if args.out:
         from libviso_tpu.io.kitti import save_poses_kitti
@@ -208,6 +209,9 @@ def main(argv=None):
     m.add_argument("--end", type=int, default=None)
     m.add_argument("--out", help="KITTI-format pose output path")
     m.add_argument("--seed", type=int, default=0)
+    m.add_argument("--method", default="5pt", choices=["5pt", "8pt"],
+                   help="essential-matrix minimal solver (5pt = reference "
+                        "findEssentialMat parity)")
     m.set_defaults(fn=_cmd_mono)
 
     e = sub.add_parser("eval", help="ATE/RPE + KITTI devkit-style errors "
