@@ -11,6 +11,15 @@ pallas' automatic block revisiting-cache).
 L1 cannot ride the MXU (no bilinear form), so the kernel is VPU work:
 |a[i,:] - b[j,:]| summed over D.  To bound VMEM the j-dimension is processed
 in sub-chunks of 8 rows (a (128, 8, D) broadcast = 512 KB per step).
+
+Speed-of-light note (measured on v5e, RPC-amortized chained timing): this
+kernel, XLA's own lowering of the chunked broadcast, a transposed
+outer-product formulation (accumulating |a[:, d] - b[d, :]| over d), and a
+bf16-input variant all land at ~1.2 TFLOP/s — the practical VPU ceiling
+for a 3-op dependent chain (sub, abs, accumulate).  The matcher is
+compute-bound at that ceiling; the only way faster is to change the math:
+``MatchConfig.metric = 'l2'`` expands to a matmul and runs on the MXU at
+~100x lower cost (ops/matching.py::_l2sq_desc_dist).
 """
 
 from __future__ import annotations
