@@ -58,20 +58,40 @@ def _cmd_kitti(args):
     os.makedirs(result_dir, exist_ok=True)
 
     cfg = PipelineConfig()
-    ckpt = None
-    if args.checkpoint_every > 0:
-        from libviso_tpu.utils.checkpoint import CheckpointManager
-
-        ckpt = CheckpointManager(os.path.join(result_dir, "checkpoints"),
-                                 every=args.checkpoint_every)
+    extra = {}
     t0 = time.perf_counter()
-    with MetricsLogger(os.path.join(result_dir, "metrics.jsonl")) as ml:
+    if args.ba_window > 0:
+        # sliding-window BA mode (BASELINE config 4): needs random access
+        # over the window, so frames are staged in memory
+        from libviso_tpu.pipeline.windowed import run_windowed_ba
+
+        res = run_windowed_ba(list(stream), P1, P2, cfg,
+                              window=args.ba_window,
+                              stride=max(args.ba_window // 2, 1),
+                              seed=args.seed, backend=args.backend)
+        stats = [{"frame": t, "ok": bool(res.frame_ok[t])}
+                 for t in range(len(res.poses))]
+        extra["ba_windows"] = len(res.window_costs)
+        extra["ba_improved"] = sum(
+            1 for (c0, c1, ok) in res.window_costs if ok and c1 < c0)
+    else:
+        ckpt = None
+        if args.checkpoint_every > 0:
+            from libviso_tpu.utils.checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(
+                os.path.join(result_dir, "checkpoints"),
+                every=args.checkpoint_every)
         res = run_stereo_sequence(
             stream, P1, P2, cfg, seed=args.seed, backend=args.backend,
-            on_frame=None, checkpoint=ckpt)
-        for s in res.stats:
-            ml.log(s)
+            on_frame=None, checkpoint=ckpt,
+            dbg_dir=(os.path.join(result_dir, "dbg")
+                     if args.save_debug else None))
+        stats = res.stats
     dt = time.perf_counter() - t0
+    with MetricsLogger(os.path.join(result_dir, "metrics.jsonl")) as ml:
+        for s in stats:
+            ml.log(s)
 
     # Reference pose list semantics: identity first, then per-frame poses.
     poses_path = os.path.join(result_dir, "data", f"{args.seq}.txt")
@@ -81,7 +101,7 @@ def _cmd_kitti(args):
         "sequence": args.seq, "frames": n,
         "solved": int(res.frame_ok.sum()),
         "fps": n / dt if dt > 0 else None,
-        "poses": poses_path,
+        "poses": poses_path, **extra,
     }))
 
 
@@ -193,6 +213,12 @@ def main(argv=None):
                    help="snapshot loop state every N frames under "
                         "results/.../checkpoints and resume from the "
                         "latest matching checkpoint (0 = off)")
+    k.add_argument("--ba-window", type=int, default=0, metavar="W",
+                   help="refine with sliding-window bundle adjustment of "
+                        "W frames, stride W/2 (0 = off)")
+    k.add_argument("--save-debug", action="store_true",
+                   help="write per-frame debug artifacts under "
+                        "results/.../dbg (reference param.save_debug)")
     k.set_defaults(fn=_cmd_kitti)
 
     s = sub.add_parser("synth", help="synthetic-sequence smoke run")
