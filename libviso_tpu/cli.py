@@ -27,8 +27,6 @@ import numpy as np
 
 
 def _cmd_kitti(args):
-    import jax
-
     from libviso_tpu.parallel.distributed import initialize_from_env
 
     initialize_from_env()  # multi-host launch contract (SURVEY.md P7)

@@ -19,7 +19,6 @@ Defaults reproduce the reference behavior:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

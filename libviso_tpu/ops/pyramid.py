@@ -20,7 +20,6 @@ single-scale, integer-pixel: src/viso.cpp:925-976).  Design:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from libviso_tpu.config import DetectorConfig

@@ -20,9 +20,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.config import Calib
 from libviso_tpu.geometry.se3 import (
     matrix_to_pose_vector,
     pose_vector_to_matrix,

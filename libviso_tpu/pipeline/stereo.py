@@ -22,7 +22,7 @@ same step also batches/shards over sequence chunks (parallel/odometry.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, NamedTuple, Optional
+from typing import Iterable, NamedTuple
 
 import jax
 import jax.numpy as jnp
