@@ -184,15 +184,19 @@ def extract_descriptors(img, kp: Keypoints,
     sob = sobel_derivatives(img, ksize=3, dx=True, scale=1.0)
     padded = jnp.pad(sob, ((r, r), (r, r)))  # zeros outside the image
 
-    def gather_patch(xy):
-        # round: subpixel-refined keypoints carry fractional coordinates,
-        # the descriptor grid stays integral
-        x = jnp.round(xy[0]).astype(jnp.int32)
-        y = jnp.round(xy[1]).astype(jnp.int32)
-        patch = jax.lax.dynamic_slice(padded, (y, x), (d, d))
-        return patch.reshape(-1)
-
-    desc = jax.vmap(gather_patch)(kp.xy)  # (num_slots, d*d)
+    # One flat gather for all patches: (N, d*d) indices into the padded
+    # image.  A vmapped dynamic_slice lowers to N separate gathers and is
+    # ~3x slower on TPU.  round: subpixel-refined keypoints carry
+    # fractional coordinates, the descriptor grid stays integral.
+    Hp, Wp = padded.shape
+    x = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, Wp - d)
+    y = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, Hp - d)
+    off = jnp.arange(d, dtype=jnp.int32)
+    rows = y[:, None] + off[None, :]                      # (N, d)
+    cols = x[:, None] + off[None, :]                      # (N, d)
+    flat = (rows[:, :, None] * Wp + cols[:, None, :]).reshape(
+        kp.xy.shape[0], d * d)                            # (N, d*d)
+    desc = jnp.take(padded.reshape(-1), flat, axis=0)
     pad = cfg.descriptor_dim_padded - desc.shape[-1]
     desc = jnp.pad(desc, ((0, 0), (0, pad)))
     return jnp.where(kp.valid[:, None], desc, 0.0)

@@ -145,6 +145,41 @@ def finalize_match(best, second, best_idx, kp1_valid,
     return MatchResult(idx=idx, dist=dist, valid=valid)
 
 
+def match_problem_batch(q_xy, q_valid, q_d, t_xy, t_valid, t_d,
+                        use_epi, use_rat, ratios, radius, sampson_thresh,
+                        metric, F, backend="xla") -> MatchResult:
+    """A stack of B gated match problems as one vmapped computation.
+
+    All problems share radius/metric/Sampson threshold; the Sampson and
+    ratio gates are per-problem traced flags (``use_epi``/``use_rat``
+    (B,) bool, ``ratios`` (B,)).  Inputs are (B, N, ...) stacks; returns a
+    MatchResult of (B, N) tensors.  Used by match_frame_triple (B=3 per
+    streaming frame) and the frame-batched pipeline (B=3T-2 per window).
+    """
+    F = jnp.asarray(F)
+
+    def one(qxy, qv, qd, txy, tv, td, epi, rat, ratio):
+        big = jnp.asarray(jnp.inf, dtype=qd.dtype)
+        pos_l1 = (jnp.abs(qxy[:, None, 0] - txy[None, :, 0])
+                  + jnp.abs(qxy[:, None, 1] - txy[None, :, 1]))
+        ok = pos_l1 < radius
+        ok &= qv[:, None] & tv[None, :]
+        s = sampson_distance(F, qxy[:, None, :], txy[None, :, :])
+        epi_ok = jnp.isfinite(s) & (s <= sampson_thresh)
+        ok &= jnp.where(epi, epi_ok, True)
+        dd = descriptor_distances(qd, td, metric=metric, backend=backend)
+        dd = jnp.where(ok, dd, big)
+        best, second, bidx = two_smallest(dd)
+        valid = jnp.isfinite(best) & qv
+        valid &= jnp.where(rat, best < second * ratio, True)
+        idx = jnp.where(valid, bidx, -1)
+        dist = jnp.where(valid, best, big)
+        return MatchResult(idx=idx, dist=dist, valid=valid)
+
+    return jax.vmap(one)(q_xy, q_valid, q_d, t_xy, t_valid, t_d,
+                         use_epi, use_rat, ratios)
+
+
 def match_frame_triple(kp1: Keypoints, d1, kp2: Keypoints, d2,
                        kp1p: Keypoints, d1p, kp2p: Keypoints, d2p,
                        stereo: MatchConfig, temporal: MatchConfig,
@@ -172,44 +207,20 @@ def match_frame_triple(kp1: Keypoints, d1, kp2: Keypoints, d2,
                                 backend=backend)
         return mlr, m11, m22
 
-    radius = stereo.radius
-    metric = stereo.metric
-    sampson_thresh = stereo.sampson_thresh
-    F = jnp.asarray(F)
-
-    q_xy = jnp.stack([kp1.xy, kp1.xy, kp2.xy])
-    q_valid = jnp.stack([kp1.valid, kp1.valid, kp2.valid])
-    q_d = jnp.stack([d1, d1, d2])
-    t_xy = jnp.stack([kp2.xy, kp1p.xy, kp2p.xy])
-    t_valid = jnp.stack([kp2.valid, kp1p.valid, kp2p.valid])
-    t_d = jnp.stack([d2, d1p, d2p])
-
-    use_epi = jnp.asarray([stereo.use_epipolar, False, False])
-    use_rat = jnp.asarray([stereo.use_ratio, temporal.use_ratio,
-                           temporal.use_ratio])
-    ratios = jnp.asarray([stereo.ratio, temporal.ratio, temporal.ratio],
-                         d1.dtype)
-
-    def one(qxy, qv, qd, txy, tv, td, epi, rat, ratio):
-        big = jnp.asarray(jnp.inf, dtype=qd.dtype)
-        pos_l1 = (jnp.abs(qxy[:, None, 0] - txy[None, :, 0])
-                  + jnp.abs(qxy[:, None, 1] - txy[None, :, 1]))
-        ok = pos_l1 < radius
-        ok &= qv[:, None] & tv[None, :]
-        s = sampson_distance(F, qxy[:, None, :], txy[None, :, :])
-        epi_ok = jnp.isfinite(s) & (s <= sampson_thresh)
-        ok &= jnp.where(epi, epi_ok, True)
-        dd = descriptor_distances(qd, td, metric=metric, backend=backend)
-        dd = jnp.where(ok, dd, big)
-        best, second, bidx = two_smallest(dd)
-        valid = jnp.isfinite(best) & qv
-        valid &= jnp.where(rat, best < second * ratio, True)
-        idx = jnp.where(valid, bidx, -1)
-        dist = jnp.where(valid, best, big)
-        return MatchResult(idx=idx, dist=dist, valid=valid)
-
-    res = jax.vmap(one)(q_xy, q_valid, q_d, t_xy, t_valid, t_d,
-                        use_epi, use_rat, ratios)
+    res = match_problem_batch(
+        q_xy=jnp.stack([kp1.xy, kp1.xy, kp2.xy]),
+        q_valid=jnp.stack([kp1.valid, kp1.valid, kp2.valid]),
+        q_d=jnp.stack([d1, d1, d2]),
+        t_xy=jnp.stack([kp2.xy, kp1p.xy, kp2p.xy]),
+        t_valid=jnp.stack([kp2.valid, kp1p.valid, kp2p.valid]),
+        t_d=jnp.stack([d2, d1p, d2p]),
+        use_epi=jnp.asarray([stereo.use_epipolar, False, False]),
+        use_rat=jnp.asarray([stereo.use_ratio, temporal.use_ratio,
+                             temporal.use_ratio]),
+        ratios=jnp.asarray([stereo.ratio, temporal.ratio, temporal.ratio],
+                           d1.dtype),
+        radius=stereo.radius, sampson_thresh=stereo.sampson_thresh,
+        metric=stereo.metric, F=F, backend=backend)
     pick = lambda i: jax.tree_util.tree_map(lambda x: x[i], res)
     return pick(0), pick(1), pick(2)
 

@@ -28,7 +28,7 @@ from libviso_tpu.config import Calib, PipelineConfig
 from libviso_tpu.geometry.triangulate import triangulate_rectified
 from libviso_tpu.ops.circle import circle_filter
 from libviso_tpu.ops.features import detect_and_describe
-from libviso_tpu.ops.matching import match_descriptors
+from libviso_tpu.ops.matching import match_problem_batch
 from libviso_tpu.solvers.ransac import ransac_pose
 
 
@@ -65,31 +65,56 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
     def detect(im):
         return detect_and_describe(im, cfg.detector)
 
-    def stereo_match(kp1, d1, kp2, d2):
-        return match_descriptors(kp1, d1, kp2, d2, cfg.stereo_match, F=F,
-                                 backend=backend)
-
-    def temporal_match(kp, d, kp_prev, d_prev):
-        return match_descriptors(kp, d, kp_prev, d_prev, cfg.temporal_match,
-                                 backend=backend)
+    stereo_cfg = cfg.stereo_match
+    temporal_cfg = cfg.temporal_match
+    assert stereo_cfg.radius == temporal_cfg.radius
+    assert stereo_cfg.metric == temporal_cfg.metric
 
     def fn(ims1, ims2, key):
         T = ims1.shape[0]
-        kp1, d1 = jax.vmap(detect)(ims1)
-        kp2, d2 = jax.vmap(detect)(ims2)
+        # all 2T detections as one vmapped batch
+        kps, ds = jax.vmap(detect)(jnp.concatenate([ims1, ims2], axis=0))
+        kp1 = jax.tree_util.tree_map(lambda x: x[:T], kps)
+        kp2 = jax.tree_util.tree_map(lambda x: x[T:], kps)
+        d1, d2 = ds[:T], ds[T:]
 
-        mlr = jax.vmap(stereo_match)(kp1, d1, kp2, d2)
+        # ALL match problems of the window — T stereo LR + 2(T-1)
+        # temporal — as ONE (3T-2, N, N) vmapped batch (one launch).
+        fdt = d1.dtype
+        q_xy = jnp.concatenate([kp1.xy, kp1.xy[1:], kp2.xy[1:]])
+        q_valid = jnp.concatenate([kp1.valid, kp1.valid[1:],
+                                   kp2.valid[1:]])
+        q_d = jnp.concatenate([d1, d1[1:], d2[1:]])
+        t_xy = jnp.concatenate([kp2.xy, kp1.xy[:-1], kp2.xy[:-1]])
+        t_valid = jnp.concatenate([kp2.valid, kp1.valid[:-1],
+                                   kp2.valid[:-1]])
+        t_d = jnp.concatenate([d2, d1[:-1], d2[:-1]])
+        epi = jnp.concatenate([
+            jnp.full((T,), stereo_cfg.use_epipolar),
+            jnp.zeros((2 * (T - 1),), bool)])
+        rat = jnp.concatenate([
+            jnp.full((T,), stereo_cfg.use_ratio),
+            jnp.full((2 * (T - 1),), temporal_cfg.use_ratio)])
+        ratios = jnp.concatenate([
+            jnp.full((T,), stereo_cfg.ratio, fdt),
+            jnp.full((2 * (T - 1),), temporal_cfg.ratio, fdt)])
+        res = match_problem_batch(
+            q_xy, q_valid, q_d, t_xy, t_valid, t_d, epi, rat, ratios,
+            radius=stereo_cfg.radius,
+            sampson_thresh=stereo_cfg.sampson_thresh,
+            metric=stereo_cfg.metric, F=F, backend=backend)
+        part = lambda tree, a, b: jax.tree_util.tree_map(
+            lambda x: x[a:b], tree)
+        mlr = part(res, 0, T)
+        m11 = part(res, T, 2 * T - 1)
+        m22 = part(res, 2 * T - 1, 3 * T - 2)
+
         r_safe = jnp.clip(mlr.idx, 0, n_slots - 1)
         obs = jnp.concatenate(
             [kp1.xy, jnp.take_along_axis(kp2.xy, r_safe[..., None], axis=1)],
             axis=-1)  # (T, N, 4)
         X = triangulate_rectified(obs, calib.f, calib.base, calib.cu,
                                   calib.cv)
-
-        cur = jax.tree_util.tree_map(lambda x: x[1:], (kp1, d1, kp2, d2))
-        prev = jax.tree_util.tree_map(lambda x: x[:-1], (kp1, d1, kp2, d2))
-        m11 = jax.vmap(temporal_match)(cur[0], cur[1], prev[0], prev[1])
-        m22 = jax.vmap(temporal_match)(cur[2], cur[3], prev[2], prev[3])
 
         circ = jax.vmap(circle_filter)(mlr.idx[1:], mlr.idx[:-1],
                                        m11.idx, m22.idx)
