@@ -7,6 +7,8 @@ sequence chunks without modification.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 
@@ -128,3 +130,64 @@ def sampson_distance(F, x1, x2):
     num = jnp.einsum("...i,...i->...", x2h, Fx1, precision="highest") ** 2
     den = Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
     return num / den
+
+
+def rms(X1, X2):
+    """Per-column root-sum-of-squares of the difference (mvg.cpp:12-30).
+
+    The reference's "rms" sums squared differences down each column and
+    takes the square root (no mean); preserved as-is for parity.
+    """
+    d = jnp.asarray(X1) - jnp.asarray(X2)
+    return jnp.sqrt(jnp.sum(d * d, axis=-2))
+
+
+@dataclasses.dataclass
+class Camera:
+    """Central-projection camera: intrinsics + distortion (mvg.h:89-95)."""
+
+    K: object                 # (3, 3) intrinsics
+    D: object = None          # (4,) distortion params (None = zero)
+
+    def __post_init__(self):
+        self.K = jnp.asarray(self.K)
+        if self.D is None:
+            self.D = jnp.zeros((4,), self.K.dtype)
+        else:
+            self.D = jnp.asarray(self.D)
+
+
+@dataclasses.dataclass
+class StereoCam:
+    """Stereo rig (mvg.h:96-118): two cameras, the c1->c2 transform, and
+    optional rectification data (R1, R2, P1, P2, Q).
+
+    Derived quantities mirror the reference's methods: ``p1()`` is
+    [K1 | 0], ``p2()`` is K2 [R | t], ``F()`` the fundamental matrix of
+    the pair (mvg.h:102-110).
+    """
+
+    c1: Camera
+    c2: Camera
+    R: object                 # (3, 3) rotation c1 -> c2
+    t: object                 # (3,) translation c1 -> c2
+    R1: object = None         # rectifying rotations
+    R2: object = None
+    P1: object = None         # rectified projection matrices
+    P2: object = None
+    Q: object = None          # disparity-to-depth matrix
+
+    def __post_init__(self):
+        self.R = jnp.asarray(self.R)
+        self.t = jnp.asarray(self.t).reshape(3)
+
+    def p1(self):
+        eye = jnp.eye(3, dtype=self.c1.K.dtype)
+        zero = jnp.zeros((3,), self.c1.K.dtype)
+        return P_from_KRt(self.c1.K, eye, zero)
+
+    def p2(self):
+        return P_from_KRt(self.c2.K, self.R, self.t)
+
+    def F(self):
+        return F_from_P(self.p1(), self.p2())

@@ -160,3 +160,51 @@ def test_batched_f_from_p(rng):
     Fb = F_from_P(P1b, P2b)
     assert Fb.shape == (4, 3, 3)
     np.testing.assert_allclose(Fb[0], F_from_P(P1, P2), rtol=1e-6)
+
+
+def test_rms_matches_reference_semantics():
+    """mvg.cpp:12-30: column-wise sqrt of SUM of squared differences."""
+    from libviso_tpu.geometry.mvg import rms
+
+    X1 = jnp.asarray([[1.0, 2.0], [4.0, 6.0]])
+    X2 = jnp.asarray([[0.0, 0.0], [0.0, 0.0]])
+    out = np.asarray(rms(X1, X2))
+    np.testing.assert_allclose(out, [np.sqrt(17.0), np.sqrt(40.0)],
+                               rtol=1e-6)
+
+
+def test_stereocam_derived_projections():
+    """mvg.h:96-118: p1 = [K1|0], p2 = K2 [R|t], F consistent."""
+    from libviso_tpu.geometry.mvg import Camera, StereoCam, project, e2h
+
+    rng = np.random.default_rng(0)
+    K = jnp.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+    # small stereo rig: pure x-translation
+    rig = StereoCam(c1=Camera(K=K), c2=Camera(K=K),
+                    R=jnp.eye(3), t=jnp.asarray([-0.5, 0.0, 0.0]))
+    P1 = np.asarray(rig.p1())
+    P2 = np.asarray(rig.p2())
+    np.testing.assert_allclose(P1[:, :3], np.asarray(K), rtol=1e-6)
+    np.testing.assert_allclose(P1[:, 3], 0.0, atol=1e-9)
+    np.testing.assert_allclose(P2[:, 3], np.asarray(K) @ [-0.5, 0, 0],
+                               rtol=1e-6)
+    # F annihilates corresponding points: x2' F x1 = 0
+    F = np.asarray(rig.F())
+    X = np.stack([rng.uniform(-2, 2, 20), rng.uniform(-2, 2, 20),
+                  rng.uniform(3, 10, 20), np.ones(20)], axis=-1)
+    x1 = np.asarray(project(jnp.asarray(P1), jnp.asarray(X[:, :3])))
+    x2 = np.asarray(project(jnp.asarray(P2), jnp.asarray(X[:, :3])))
+    h1 = np.concatenate([x1, np.ones((20, 1))], axis=1)
+    h2 = np.concatenate([x2, np.ones((20, 1))], axis=1)
+    Fn = F / np.linalg.norm(F)
+    resid = np.abs(np.einsum("ni,ij,nj->n", h2, Fn, h1))
+    # pixel-homogeneous magnitudes ~1e5; exact correspondences -> tiny
+    assert resid.max() < 1e-2, resid.max()
+
+
+def test_camera_default_distortion():
+    from libviso_tpu.geometry.mvg import Camera
+
+    cam = Camera(K=jnp.eye(3))
+    assert cam.D.shape == (4,)
+    assert float(jnp.abs(cam.D).max()) == 0.0
