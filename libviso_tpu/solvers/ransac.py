@@ -62,11 +62,18 @@ def ransac_pose(key, X, observe, valid, calib: Calib,
     _, sample_idx = jax.lax.top_k(scores, cfg.model_size)  # (H, k)
 
     # --- fit: vmapped GN on the gathered minimal sets ---
+    # Capped iteration budget: the vmapped while_loop runs until the
+    # slowest hypothesis lane finishes, so one degenerate sample would pin
+    # all lanes at the full gn_iters (see RansacConfig.fit_gn_iters).
+    import dataclasses
+
     Xs = X[sample_idx]                  # (H, k, 3)
     obs_s = observe[sample_idx]         # (H, k, 4)
     w_s = jnp.ones((H, cfg.model_size), dtype=dtype)
     tr0 = jnp.zeros((H, 6), dtype=dtype)
-    fit = gauss_newton(Xs, obs_s, w_s, tr0, calib, cfg)
+    fit_cfg = dataclasses.replace(cfg, gn_iters=min(cfg.fit_gn_iters,
+                                                    cfg.gn_iters))
+    fit = gauss_newton(Xs, obs_s, w_s, tr0, calib, fit_cfg)
 
     # --- score: unweighted reprojection error of every point under every
     # hypothesis; one batched evaluation (H, N) ---
