@@ -18,6 +18,7 @@ points).  Semantics preserved:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -65,8 +66,6 @@ def ransac_pose(key, X, observe, valid, calib: Calib,
     # Capped iteration budget: the vmapped while_loop runs until the
     # slowest hypothesis lane finishes, so one degenerate sample would pin
     # all lanes at the full gn_iters (see RansacConfig.fit_gn_iters).
-    import dataclasses
-
     Xs = X[sample_idx]                  # (H, k, 3)
     obs_s = observe[sample_idx]         # (H, k, 4)
     w_s = jnp.ones((H, cfg.model_size), dtype=dtype)
