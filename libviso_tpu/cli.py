@@ -59,6 +59,11 @@ def _cmd_kitti(args):
     extra = {}
     t0 = time.perf_counter()
     if args.ba_window > 0:
+        if args.checkpoint_every > 0 or args.save_debug:
+            sys.exit("--ba-window does not support --checkpoint-every or "
+                     "--save-debug (the windowed-BA driver has no "
+                     "checkpoint/debug hooks yet); drop the flags or run "
+                     "without --ba-window")
         # sliding-window BA mode (BASELINE config 4): needs random access
         # over the window, so frames are staged in memory
         from libviso_tpu.pipeline.windowed import run_windowed_ba
@@ -83,6 +88,7 @@ def _cmd_kitti(args):
         res = run_stereo_sequence(
             stream, P1, P2, cfg, seed=args.seed, backend=args.backend,
             on_frame=None, checkpoint=ckpt,
+            fingerprint_scope=f"{args.seq}:{args.begin}:{args.end}",
             dbg_dir=(os.path.join(result_dir, "dbg")
                      if args.save_debug else None))
         stats = res.stats

@@ -294,8 +294,13 @@ def five_point_E(x1, x2):
         x1.shape[:-1] + (9,))                                  # (..., 5, 9)
     _, _, vt = jnp.linalg.svd(Q, full_matrices=True)
     basis = vt[..., 5:9, :].reshape(x1.shape[:-2] + (4, 3, 3))
-    # order so the affine term E4 is the *last* singular vector (any order
-    # is mathematically fine; keep smallest-σ as E4 for conditioning)
+    # Basis order: jnp.linalg.svd returns singular values DESCENDING, so
+    # row 8 is the smallest-σ vector; the reversal makes E4 (the affine
+    # term, coefficient fixed at 1) the LARGEST-σ of the four nullspace
+    # vectors.  Any order is mathematically equivalent; this one is kept
+    # because it validates best end-to-end (oracle recovery and the mono
+    # pipeline accuracy tests are both sensitive to the f32 conditioning
+    # of the M1 solve, and this order wins on the latter).
     basis = basis[..., ::-1, :, :]                             # E1..E4
 
     M = _coefficient_matrix(basis)                             # (..., 10, 20)
@@ -314,31 +319,31 @@ def five_point_E(x1, x2):
 
     # back-substitute each root slot: B(z) [x, y, 1]' = 0
     def eval_rows(P, z):
-        # P: (..., 3, L) ascending coeffs; z: (..., 10) -> (..., 10, 3)
+        # P: (..., 3, L) ascending coeffs; z: (..., K) -> (..., K, 3)
         zz = z[..., :, None]                                   # (..., 10, 1)
         out = jnp.zeros(z.shape + (3,), P.dtype) + P[..., None, :, -1]
         for i in range(P.shape[-1] - 2, -1, -1):
             out = out * zz + P[..., None, :, i]
         return out
 
-    bx = eval_rows(Bx, z)                                      # (..., 10, 3)
+    bx = eval_rows(Bx, z)                                      # (..., 14, 3)
     by = eval_rows(By, z)
     b1 = eval_rows(B1, z)
-    B = jnp.stack([bx, by, b1], axis=-1)                       # (...,10,3,3)
+    B = jnp.stack([bx, by, b1], axis=-1)                       # (...,14,3,3)
     # null vector of B via the largest cross product of two rows
     r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
     cands = jnp.stack([jnp.cross(r0, r1), jnp.cross(r0, r2),
-                       jnp.cross(r1, r2)], axis=-2)            # (...,10,3,3)
+                       jnp.cross(r1, r2)], axis=-2)            # (...,14,3,3)
     norms = jnp.linalg.norm(cands, axis=-1)
     pickc = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(cands, pickc[..., None, None],
-                            axis=-2)[..., 0, :]                # (..., 10, 3)
+                            axis=-2)[..., 0, :]                # (..., 14, 3)
     w = v[..., 2]
     w_ok = jnp.abs(w) > 1e-12
     w_safe = jnp.where(w_ok, w, 1.0)
     xy = v[..., :2] / w_safe[..., None]                        # (..., 10, 2)
 
-    xyz = jnp.concatenate([xy, z[..., None]], axis=-1)         # (..., 10, 3)
+    xyz = jnp.concatenate([xy, z[..., None]], axis=-1)         # (..., 14, 3)
     root_valid = z_valid & w_ok & gj_ok[..., None]
 
     # Auxiliary GN basins: the f32 coefficient pipeline occasionally merges
@@ -357,7 +362,7 @@ def five_point_E(x1, x2):
         jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1),
         1e-30)[..., None, None]
     # accept only candidates that actually solve the constraints
-    res = jnp.linalg.norm(_constraints(E), axis=-1)            # (..., 16)
+    res = jnp.linalg.norm(_constraints(E), axis=-1)            # (..., 22)
     n_extra = _EXTRA_STARTS.shape[0]
     slot_valid = jnp.concatenate(
         [root_valid,

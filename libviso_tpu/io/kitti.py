@@ -106,6 +106,13 @@ class StereoImageStream:
         self.end = end
         self.prefetch = prefetch
 
+    def skipped(self, n: int) -> "StereoImageStream":
+        """A copy whose iteration starts ``n`` frames later (no decode of
+        the skipped frames — used by checkpoint resume)."""
+        return StereoImageStream(self.mask_left, self.mask_right,
+                                 begin=self.begin + n, end=self.end,
+                                 prefetch=self.prefetch)
+
     def _paths(self):
         """Enumerate existing (left, right) path pairs, reference-style:
         stop at ``end`` or the first missing file (src/viso.h:91-96)."""

@@ -42,7 +42,10 @@ def _load() -> Optional[ctypes.CDLL]:
         so = _build.build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None  # corrupt/foreign .so: fall back to the PIL path
         lib.vn_version.restype = ctypes.c_int
         lib.vn_decode_png_gray.restype = ctypes.c_int
         lib.vn_decode_png_gray.argtypes = [

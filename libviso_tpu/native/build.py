@@ -36,9 +36,12 @@ def build(verbose: bool = False) -> str | None:
         return None
     if not needs_build():
         return _SO
+    tmp = f"{_SO}.tmp.{os.getpid()}"  # unique per process: concurrent
+    # first-use builds (pytest-xdist, multi-host on a shared FS) must not
+    # interleave g++ output into one file
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-        _SRC, "-lpng", "-lz", "-o", _SO + ".tmp",
+        _SRC, "-lpng", "-lz", "-o", tmp,
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -51,7 +54,7 @@ def build(verbose: bool = False) -> str | None:
         if verbose:
             print(f"native build failed:\n{proc.stderr}", file=sys.stderr)
         return None
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(tmp, _SO)
     return _SO
 
 

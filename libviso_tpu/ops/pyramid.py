@@ -104,11 +104,26 @@ def detect_and_describe_multiscale(img, cfg: DetectorConfig,
     xs, resps, valids, descs, scales = [], [], [], [], []
     nbins = cfg.nbinx * cfg.nbiny
     for l, (im_l, slots_l) in enumerate(zip(pyr, budgets)):
-        # per-level detector: same bin grid, scaled per-bin budget
-        k_l = max(1, min(cfg.corners_per_bin // (2 ** l), slots_l // nbins))
+        # Per-level detector: bin counts halve with the image (same bin
+        # size in level pixels), which also keeps the per-level corner
+        # budget k_l * nbins_l <= slots_l — a fixed bin grid would exceed
+        # a deep level's slot budget and make detect_harris_binned raise.
+        if slots_l < 1:
+            continue  # deeper level got no slot budget at all
+        nbinx_l = max(1, cfg.nbinx >> l)
+        nbiny_l = max(1, cfg.nbiny >> l)
+        while nbinx_l * nbiny_l > slots_l:  # tiny budgets: coarsen further
+            if nbinx_l >= nbiny_l and nbinx_l > 1:
+                nbinx_l = max(1, nbinx_l // 2)
+            else:
+                nbiny_l = max(1, nbiny_l // 2)
+            if nbinx_l == 1 and nbiny_l == 1:
+                break
+        nbins_l = nbinx_l * nbiny_l
+        k_l = max(1, min(cfg.corners_per_bin, slots_l // nbins_l))
         cfg_l = DetectorConfig(
-            max_features=k_l * nbins,
-            nbinx=cfg.nbinx, nbiny=cfg.nbiny,
+            max_features=k_l * nbins_l,
+            nbinx=nbinx_l, nbiny=nbiny_l,
             harris_k=cfg.harris_k, block_size=cfg.block_size,
             aperture=cfg.aperture,
             descriptor_radius=cfg.descriptor_radius,

@@ -67,8 +67,6 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
 
     stereo_cfg = cfg.stereo_match
     temporal_cfg = cfg.temporal_match
-    assert stereo_cfg.radius == temporal_cfg.radius
-    assert stereo_cfg.metric == temporal_cfg.metric
 
     def fn(ims1, ims2, key):
         T = ims1.shape[0]
@@ -78,36 +76,38 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
         kp2 = jax.tree_util.tree_map(lambda x: x[T:], kps)
         d1, d2 = ds[:T], ds[T:]
 
-        # ALL match problems of the window — T stereo LR + 2(T-1)
-        # temporal — as ONE (3T-2, N, N) vmapped batch (one launch).
+        # All window match problems as TWO homogeneous vmapped batches
+        # (each batch shares radius/metric; Sampson/ratio gates are traced
+        # per-problem flags): T stereo LR + 2(T-1) temporal problems in
+        # two launches instead of 3T-2.
         fdt = d1.dtype
-        q_xy = jnp.concatenate([kp1.xy, kp1.xy[1:], kp2.xy[1:]])
-        q_valid = jnp.concatenate([kp1.valid, kp1.valid[1:],
-                                   kp2.valid[1:]])
-        q_d = jnp.concatenate([d1, d1[1:], d2[1:]])
-        t_xy = jnp.concatenate([kp2.xy, kp1.xy[:-1], kp2.xy[:-1]])
-        t_valid = jnp.concatenate([kp2.valid, kp1.valid[:-1],
-                                   kp2.valid[:-1]])
-        t_d = jnp.concatenate([d2, d1[:-1], d2[:-1]])
-        epi = jnp.concatenate([
-            jnp.full((T,), stereo_cfg.use_epipolar),
-            jnp.zeros((2 * (T - 1),), bool)])
-        rat = jnp.concatenate([
-            jnp.full((T,), stereo_cfg.use_ratio),
-            jnp.full((2 * (T - 1),), temporal_cfg.use_ratio)])
-        ratios = jnp.concatenate([
-            jnp.full((T,), stereo_cfg.ratio, fdt),
-            jnp.full((2 * (T - 1),), temporal_cfg.ratio, fdt)])
-        res = match_problem_batch(
-            q_xy, q_valid, q_d, t_xy, t_valid, t_d, epi, rat, ratios,
+        mlr = match_problem_batch(
+            kp1.xy, kp1.valid, d1, kp2.xy, kp2.valid, d2,
+            use_epi=jnp.full((T,), stereo_cfg.use_epipolar),
+            use_rat=jnp.full((T,), stereo_cfg.use_ratio),
+            ratios=jnp.full((T,), stereo_cfg.ratio, fdt),
             radius=stereo_cfg.radius,
             sampson_thresh=stereo_cfg.sampson_thresh,
             metric=stereo_cfg.metric, F=F, backend=backend)
+
+        Tm = 2 * (T - 1)
+        tm = match_problem_batch(
+            jnp.concatenate([kp1.xy[1:], kp2.xy[1:]]),
+            jnp.concatenate([kp1.valid[1:], kp2.valid[1:]]),
+            jnp.concatenate([d1[1:], d2[1:]]),
+            jnp.concatenate([kp1.xy[:-1], kp2.xy[:-1]]),
+            jnp.concatenate([kp1.valid[:-1], kp2.valid[:-1]]),
+            jnp.concatenate([d1[:-1], d2[:-1]]),
+            use_epi=jnp.zeros((Tm,), bool),
+            use_rat=jnp.full((Tm,), temporal_cfg.use_ratio),
+            ratios=jnp.full((Tm,), temporal_cfg.ratio, fdt),
+            radius=temporal_cfg.radius,
+            sampson_thresh=temporal_cfg.sampson_thresh,
+            metric=temporal_cfg.metric, F=F, backend=backend)
         part = lambda tree, a, b: jax.tree_util.tree_map(
             lambda x: x[a:b], tree)
-        mlr = part(res, 0, T)
-        m11 = part(res, T, 2 * T - 1)
-        m22 = part(res, 2 * T - 1, 3 * T - 2)
+        m11 = part(tm, 0, T - 1)
+        m22 = part(tm, T - 1, Tm)
 
         r_safe = jnp.clip(mlr.idx, 0, n_slots - 1)
         obs = jnp.concatenate(

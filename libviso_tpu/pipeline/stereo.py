@@ -178,7 +178,8 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
                         cfg: PipelineConfig = PipelineConfig(),
                         seed: int = 0, backend: str = "xla",
                         on_frame=None, dbg_dir=None,
-                        checkpoint=None) -> SequenceResult:
+                        checkpoint=None,
+                        fingerprint_scope: str = "") -> SequenceResult:
     """Host driver: stream stereo pairs through the jitted step.
 
     The analog of the reference `sequence_odometry` loop + the `kitti`
@@ -198,6 +199,9 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
         per-frame keys are fold_in(key, t), so resume is bit-exact).
         Reference has no analog — it writes poses only at the end
         (src/kitti.cpp:111-116).  SURVEY.md §5.4.
+      fingerprint_scope: string identifying the input slice (e.g. the
+        KITTI begin/end range); a checkpoint written under a different
+        scope is rejected instead of silently misaligning frames.
     """
     from libviso_tpu.utils.debug_viz import DebugDumper
 
@@ -219,7 +223,8 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
             config_fingerprint,
         )
 
-        fingerprint = config_fingerprint(cfg, seed, backend)
+        fingerprint = config_fingerprint(cfg, seed, backend,
+                                         scope=fingerprint_scope)
         ck = checkpoint.latest()
         if ck is not None:
             if ck.fingerprint != fingerprint:
@@ -248,8 +253,13 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
             fingerprint=fingerprint,
         ))
 
+    start = 0
+    if t0 and hasattr(frames, "skipped"):
+        # IO-aware skip: don't decode frames the checkpoint already covers
+        frames = frames.skipped(t0)
+        start = t0
     prev_host = None
-    for t, (im1, im2) in enumerate(frames):
+    for t, (im1, im2) in enumerate(frames, start=start):
         if t < t0:  # already covered by the restored checkpoint
             continue
         # ship uint8 when possible (4x less host->device traffic); the

@@ -30,9 +30,15 @@ from typing import List, Optional
 import numpy as np
 
 
-def config_fingerprint(cfg, seed: int, backend: str) -> str:
-    """Stable hash of everything that must match for a resume to be valid."""
-    text = f"{cfg!r}|seed={seed}|backend={backend}"
+def config_fingerprint(cfg, seed: int, backend: str,
+                       scope: str = "") -> str:
+    """Stable hash of everything that must match for a resume to be valid.
+
+    ``scope`` identifies the input slice (e.g. the KITTI begin/end frame
+    range): resuming with a shifted range would silently stitch motions
+    across misaligned frames, so it must invalidate the checkpoint.
+    """
+    text = f"{cfg!r}|seed={seed}|backend={backend}|scope={scope}"
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 

@@ -89,9 +89,11 @@ def time_jitted(fn: Callable, args: tuple = (), reps: int = 20,
     """
     if make_args is None:
         make_args = lambda i: args
+    out = None
     for i in range(warmup):
-        out = fn(*make_args(-1 - i))
-    jax.block_until_ready(out)
+        out = fn(*make_args(1_000_000 + i))
+    if out is not None:
+        jax.block_until_ready(out)
     times = []
     for i in range(reps):
         a = make_args(i)

@@ -95,3 +95,30 @@ def test_pipeline_with_pyramid_runs():
     res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg)
     assert res.frame_ok[1:].all(), res.stats
     assert ate_rmse(res.poses, seq.gt_poses) < 0.2
+
+
+def test_deep_pyramid_small_budgets_no_crash(rng):
+    """Regression: levels >= 4 with the default 1280-slot budget used to
+    raise (level-3 budget 85 < 120 bins forced max_features > num_slots)."""
+    from libviso_tpu.config import DetectorConfig
+    from libviso_tpu.ops.pyramid import detect_and_describe_multiscale
+
+    img = jnp.asarray(rng.integers(0, 255, (376, 1241)), jnp.float32)
+    cfg = DetectorConfig(pyramid_levels=4)
+    kp, desc, scales = detect_and_describe_multiscale(img, cfg, levels=4)
+    assert kp.xy.shape[0] == cfg.num_slots
+    assert desc.shape[0] == cfg.num_slots
+    assert bool(kp.valid.any())
+    # all four levels represented among valid keypoints
+    lv = np.asarray(scales)[np.asarray(kp.valid)]
+    assert set(np.unique(lv)) >= {0, 1, 2, 3}
+
+
+def test_pyramid_tiny_slots_no_crash(rng):
+    from libviso_tpu.config import DetectorConfig
+    from libviso_tpu.ops.pyramid import detect_and_describe_multiscale
+
+    img = jnp.asarray(rng.integers(0, 255, (96, 160)), jnp.float32)
+    cfg = DetectorConfig(max_features=24, nbinx=6, nbiny=2, num_slots=32)
+    kp, desc, scales = detect_and_describe_multiscale(img, cfg, levels=3)
+    assert kp.xy.shape[0] == 32
