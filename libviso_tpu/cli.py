@@ -31,6 +31,18 @@ def _cmd_kitti(args):
 
     initialize_from_env()  # multi-host launch contract (SURVEY.md P7)
 
+    # Multi-sequence convenience: 'kitti sha 00,01,02' runs each sequence
+    # in turn inside ONE process — identical image shapes hit the jit
+    # cache, so sequences after the first skip compilation entirely.
+    if "," in args.seq:
+        import copy
+
+        for seq in args.seq.split(","):
+            sub = copy.copy(args)
+            sub.seq = seq
+            _cmd_kitti(sub)
+        return
+
     from libviso_tpu.config import PipelineConfig
     from libviso_tpu.io.kitti import (
         StereoImageStream,

@@ -207,3 +207,27 @@ def ransac_essential(key, x1, x2, valid=None, num_hypotheses=128,
     n = jnp.where(keep_refit, n, counts[best])
     return EssentialResult(E=E_out, inliers=final, num_inliers=n,
                            ok=n >= min_inliers)
+
+
+def undistort_points(x, K, D, iters: int = 5):
+    """Pixel -> normalized coordinates with Brown-Conrady undistortion.
+
+    OpenCV undistortPoints semantics with dist = (k1, k2, p1, p2): fixed-
+    point iteration inverting the distortion model.  With D = 0 this
+    reduces exactly to normalize_points (the reference always passes an
+    empty distortion, src/viso.cpp:1382-1383; real cameras need this).
+    """
+    D = jnp.zeros(4) if D is None else jnp.asarray(D)
+    k1, k2, p1, p2 = D[0], D[1], D[2], D[3]
+    xd = normalize_points(x, K)  # distorted normalized coords
+    u = xd
+    for _ in range(iters):  # static unroll: tiny
+        r2 = jnp.sum(u * u, axis=-1, keepdims=True)
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        ux = u[..., 0:1]
+        uy = u[..., 1:2]
+        tang = jnp.concatenate(
+            [2 * p1 * ux * uy + p2 * (r2 + 2 * ux * ux),
+             p1 * (r2 + 2 * uy * uy) + 2 * p2 * ux * uy], axis=-1)
+        u = (xd - tang) / radial
+    return u

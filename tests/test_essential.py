@@ -93,3 +93,39 @@ def test_ransac_essential_respects_padding(rng):
                            sampson_thresh=1e-7)
     assert bool(res.ok)
     assert not bool(jnp.any(res.inliers[64:]))
+
+
+def test_undistort_points_zero_distortion_is_normalize():
+    from libviso_tpu.geometry.essential import (
+        normalize_points,
+        undistort_points,
+    )
+
+    rng = np.random.default_rng(0)
+    K = jnp.asarray([[700.0, 0, 600], [0, 700, 180], [0, 0, 1]])
+    x = jnp.asarray(rng.uniform(0, [1200, 370], (50, 2)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(undistort_points(x, K, None)),
+        np.asarray(normalize_points(x, K)), rtol=1e-6)
+
+
+def test_undistort_points_inverts_distortion():
+    from libviso_tpu.geometry.essential import undistort_points
+
+    rng = np.random.default_rng(1)
+    K = jnp.asarray([[700.0, 0, 600], [0, 700, 180], [0, 0, 1]])
+    D = jnp.asarray([-0.3, 0.1, 1e-3, -5e-4])
+    k1, k2, p1, p2 = [float(v) for v in D]
+    # forward-distort known normalized points, project to pixels
+    u = rng.uniform(-0.4, 0.4, (100, 2))
+    r2 = np.sum(u * u, axis=-1, keepdims=True)
+    radial = 1 + k1 * r2 + k2 * r2 * r2
+    ux, uy = u[:, 0:1], u[:, 1:2]
+    tang = np.concatenate(
+        [2 * p1 * ux * uy + p2 * (r2 + 2 * ux * ux),
+         p1 * (r2 + 2 * uy * uy) + 2 * p2 * ux * uy], axis=1)
+    xd = u * radial + tang
+    pix = xd * [700, 700] + [600, 180]
+    got = np.asarray(undistort_points(jnp.asarray(pix, jnp.float32), K, D,
+                                      iters=8))
+    np.testing.assert_allclose(got, u, atol=2e-4)
