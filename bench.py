@@ -148,6 +148,7 @@ def main():
         # driver's one-JSON-line stdout contract holds.
         from libviso_tpu.utils.profiling import (
             device_peaks,
+            profile_frame_step,
             profile_matcher,
             profile_solver,
         )
@@ -160,9 +161,10 @@ def main():
         d = cfg.detector.descriptor_dim_padded
         for st in (
             profile_matcher(n, n, d, metric=metric, backend=backend,
-                            reps=reps),
+                            reps=min(reps, 8)),
             profile_solver(cfg.ransac.num_hypotheses, cfg.ransac.gn_iters,
-                           n, reps=reps),
+                           n, reps=min(reps, 8)),
+            profile_frame_step(cfg, reps=5),
         ):
             print(st.pretty(), file=sys.stderr)
 

@@ -55,7 +55,7 @@ def empty_mono_state(cfg: PipelineConfig, dtype=jnp.float32) -> MonoState:
 
 def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
                     sampson_thresh=2e-5, backend: str = "xla",
-                    method: str = "5pt"):
+                    method: str = "5pt", D=None):
     """Jittable mono frame step.
 
     Pipeline per frame (reference order, completed):
@@ -68,6 +68,14 @@ def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
     """
     K = np.asarray(K, np.float64)
     Kj = jnp.asarray(K, jnp.float32)
+    Dj = None if D is None else jnp.asarray(D, jnp.float32)
+
+    def _norm(x):
+        if Dj is None:
+            return normalize_points(x, Kj)
+        from libviso_tpu.geometry.essential import undistort_points
+
+        return undistort_points(x, Kj, Dj)
     # F = K^-T E K^-1 (viso.cpp:1385) for the pixel-space epipolar re-match
     Kinv = np.linalg.inv(K)
 
@@ -81,8 +89,8 @@ def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
         x_cur = kp.xy                          # (N, 2) current pixels
         x_prev = state.kp.xy[idx_safe]         # matched previous pixels
 
-        xn_cur = normalize_points(x_cur, Kj)
-        xn_prev = normalize_points(x_prev, Kj)
+        xn_cur = _norm(x_cur)
+        xn_prev = _norm(x_prev)
 
         k1, k2 = jax.random.split(key)
         est1 = ransac_essential(k1, xn_cur, xn_prev, valid=m.valid,
@@ -100,8 +108,8 @@ def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
         m2 = match_descriptors(kp, d, state.kp, state.desc, rematch_cfg,
                                F=F, backend=backend)
         idx2_safe = jnp.clip(m2.idx, 0, n_slots - 1)
-        xn_cur2 = normalize_points(kp.xy, Kj)
-        xn_prev2 = normalize_points(state.kp.xy[idx2_safe], Kj)
+        xn_cur2 = _norm(kp.xy)
+        xn_prev2 = _norm(state.kp.xy[idx2_safe])
 
         est2 = ransac_essential(k2, xn_cur2, xn_prev2, valid=m2.valid,
                                 num_hypotheses=num_hypotheses,
@@ -134,11 +142,16 @@ class MonoResult:
 def run_mono_sequence(frames: Iterable, K,
                       cfg: PipelineConfig = None,
                       seed: int = 0, backend: str = "xla",
-                      method: str = "5pt") -> MonoResult:
-    """Host driver for the monocular pipeline (calib_sfm.cpp analog)."""
+                      method: str = "5pt", D=None) -> MonoResult:
+    """Host driver for the monocular pipeline (calib_sfm.cpp analog).
+
+    ``D``: optional (k1, k2, p1, p2) lens distortion; None matches the
+    reference's empty-distortion undistortPoints call (viso.cpp:1382).
+    """
     if cfg is None:
         cfg = PipelineConfig.mono()
-    step = jax.jit(build_mono_step(K, cfg, backend=backend, method=method))
+    step = jax.jit(build_mono_step(K, cfg, backend=backend, method=method,
+                                   D=D))
     key = jax.random.PRNGKey(seed)
 
     state = empty_mono_state(cfg)

@@ -240,3 +240,55 @@ def profile_solver(num_hypotheses: int = 64, gn_iters: int = 20,
         make_args=lambda i: (jnp.float32(i) * 1e-9, X, obs))
     st.seconds /= chain
     return st
+
+
+def profile_frame_step(cfg=None, reps: int = 5, chain: int = 32,
+                       seed: int = 0) -> KernelStats:
+    """Chained timing of the FULL stereo frame step (detect through RANSAC).
+
+    The one number that bounds streaming throughput on a production host;
+    state threads through the chain so every iteration is a real step.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from libviso_tpu.config import Calib, PipelineConfig
+    from libviso_tpu.geometry.mvg import F_from_P_host
+    from libviso_tpu.pipeline.stereo import build_frame_step, empty_state
+    from libviso_tpu.synthetic import generate_sequence
+
+    cfg = cfg or PipelineConfig()
+    seq = generate_sequence(num_frames=8, num_points=900, seed=seed,
+                            width=1241, height=376, f=718.856,
+                            base=0.5371657, speed=0.8)
+    calib = Calib.from_projections(seq.P1, seq.P2)
+    F = jnp.asarray(F_from_P_host(seq.P1, seq.P2))
+    frames = jnp.asarray(np.stack(
+        [np.stack([f[0], f[1]]) for f in seq.frames]).astype(np.float32))
+    key = jax.random.PRNGKey(seed)
+    step = build_frame_step(calib, F, cfg)
+
+    def fn(c0):
+        st0 = empty_state(cfg)
+
+        def body(carry, i):
+            st, c = carry
+            f = frames[i % frames.shape[0]]
+            st, out = step(st, f[0] * (1.0 + c), f[1] * (1.0 + c),
+                           jax.random.fold_in(key, i))
+            return (st, jnp.sum(out.tr) * 1e-9), None
+
+        (_, c), _ = jax.lax.scan(body, (st0, c0), jnp.arange(chain))
+        return c
+
+    n = cfg.detector.num_slots
+    d = cfg.detector.descriptor_dim_padded
+    mf, mb = match_cost_model(n, n, d)
+    gf, gb = gn_cost_model(cfg.ransac.num_hypotheses,
+                           cfg.ransac.fit_gn_iters, n)
+    st = profile_kernel(
+        "frame_step", jax.jit(fn), (), (3 * mf + gf) * chain,
+        (3 * mb + gb) * chain, reps=reps,
+        make_args=lambda i: (jnp.float32(i) * 1e-3,))
+    st.seconds /= chain
+    return st
