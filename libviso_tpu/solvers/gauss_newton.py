@@ -201,5 +201,12 @@ def gauss_newton(X, observe, weights, tr0, calib: Calib,
             jnp.where(keep, failed_n, failed),
         )
 
-    tr, converged, iters, failed = jax.lax.while_loop(cond, masked_body, init)
+    def unrolled_body(state):
+        # Two masked GN steps per while iteration: the loop's fixed
+        # per-iteration overhead (~tens of µs on-device) is paid half as
+        # often; the masking keeps per-lane semantics identical.
+        return masked_body(masked_body(state))
+
+    tr, converged, iters, failed = jax.lax.while_loop(cond, unrolled_body,
+                                                      init)
     return GNResult(tr=tr, converged=converged & ~failed, iters=iters)
