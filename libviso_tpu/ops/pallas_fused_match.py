@@ -1,0 +1,208 @@
+"""Fully-fused gated matcher as one Pallas kernel (SURVEY.md §7 stage 4).
+
+The dense matcher pipeline materializes several (N1, N2) arrays in HBM per
+problem (position gate, Sampson gate, distance matrix, argmin mask).  This
+kernel fuses the whole row: for each 128-row output block it sweeps the
+column blocks, computes the gated L1 tile in VMEM, and folds it into a
+running per-row (best, second, argmin) — nothing of size N1 x N2 ever
+touches HBM.
+
+Layout choices are Mosaic-driven (everything 2-D with 128 lanes):
+  - keypoint gate data is packed as (N, 128) f32 with columns
+    [x, y, valid, 0...]; the target side is passed TRANSPOSED (128, N2)
+    so a column block yields (1, 128) lane vectors directly;
+  - F rides in an (8, 128) constant block, 9 values at [0, :9];
+  - running best/second/idx live in the (N1, 128) outputs (column 0),
+    revisited across the j grid dimension (j innermost), initialized at
+    j == 0.
+
+Static variants: ``use_epi`` bakes the Sampson gate in or out at build
+time (the pipeline needs exactly two variants).  Ratio test and final
+validity stay outside (O(N) work on the results).
+
+Semantics match ops/matching.py::gated_distance_matrix + two_smallest
+bit-for-bit except argmin tie-breaking across column BLOCKS: ties keep the
+earlier block (same as jnp.argmin) and, within a block, the lowest column
+(same) — i.e. identical.
+
+Measured (v5e, RPC-amortized): 0.72 ms vs the unfused XLA path's 0.67 ms
+at KITTI shapes — XLA's own fusion already keeps the (N, N) intermediates
+out of HBM's critical path at this size, and both sit at the VPU's L1
+ceiling (docs/performance.md).  The kernel therefore is NOT wired as a
+default backend; it exists as the explicit fused-dataflow implementation
+of SURVEY.md stage 4 and becomes the right tool when N grows past what
+XLA's fusion window covers (the running 2-min needs O(N1) memory vs the
+unfused path's O(N1*N2)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+_BIG = 3.0e38  # ~f32 max: "no candidate" sentinel (inf-safe arithmetic)
+
+
+def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
+                 sub: int = 8):
+    def kernel(qg_ref, tg_ref, qd_ref, td_ref, f_ref,
+               best_ref, second_ref, idx_ref, dd_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            best_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
+            second_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
+            idx_ref[:] = jnp.full((TILE, TILE), -1, jnp.int32)
+
+        b = td_ref[:]                     # (TILE, D) target descriptors
+        qg = qg_ref[:]                    # (TILE, 128): cols x, y, valid
+        tg = tg_ref[:]                    # (128, TILE): rows x, y, valid
+
+        # gates: (TILE_q, TILE_t)
+        qx = qg[:, 0:1]
+        qy = qg[:, 1:2]
+        qv = qg[:, 2:3]
+        tx = tg[0:1, :]
+        ty = tg[1:2, :]
+        tv = tg[2:3, :]
+        pos = jnp.abs(qx - tx) + jnp.abs(qy - ty)
+        ok = (pos < radius) & (qv > 0.5) & (tv > 0.5)
+        if use_epi:
+            f = f_ref[:]                  # (8, 128), F at [0, :9]
+            f00 = f[0, 0]
+            f01 = f[0, 1]
+            f02 = f[0, 2]
+            f10 = f[0, 3]
+            f11 = f[0, 4]
+            f12 = f[0, 5]
+            f20 = f[0, 6]
+            f21 = f[0, 7]
+            f22 = f[0, 8]
+            # Sampson distance of (q -> x1, t -> x2): x2' F x1
+            # Fx1 rows evaluated at q (broadcast over columns):
+            a1 = f00 * qx + f01 * qy + f02   # (TILE, 1)
+            a2 = f10 * qx + f11 * qy + f12
+            a3 = f20 * qx + f21 * qy + f22
+            # F' x2 at t (broadcast over rows):
+            b1 = f00 * tx + f10 * ty + f20   # (1, TILE)
+            b2 = f01 * tx + f11 * ty + f21
+            b3 = f02 * tx + f12 * ty + f22
+            num = (tx * a1 + ty * a2 + a3) ** 2
+            den = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
+            s = num / jnp.maximum(den, 1e-30)
+            ok &= s <= sampson_thresh
+
+        # gated L1 distance tile into VMEM scratch (proven sub-chunk form)
+        def body(k, _):
+            a_chunk = qd_ref[pl.ds(k * sub, sub), :]
+            diff = jnp.abs(a_chunk[:, None, :] - b[None, :, :])
+            dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
+            return 0
+
+        jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
+
+        dd = jnp.where(ok, dd_ref[:], _BIG)
+
+        # tile-local 2-min over columns + global column indices
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        tb = jnp.min(dd, axis=1, keepdims=True)              # (TILE, 1)
+        is_min = dd == tb
+        tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
+                           keepdims=True)
+        dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
+        ts = jnp.min(dd2, axis=1, keepdims=True)
+        tidx = (tidx_loc + j * TILE).astype(jnp.int32)
+
+        # merge with the running 2-min (k=2 merge, columns 0 only)
+        rb = best_ref[:, 0:1]
+        rs = second_ref[:, 0:1]
+        ri = idx_ref[:, 0:1]
+        new_better = tb < rb
+        nb = jnp.where(new_better, tb, rb)
+        ni = jnp.where(new_better, tidx, ri)
+        # runner-up: min of (loser of the best comparison, both seconds)
+        loser = jnp.where(new_better, rb, tb)
+        ns = jnp.minimum(loser, jnp.minimum(rs, ts))
+        best_ref[:, 0:1] = nb
+        second_ref[:, 0:1] = ns
+        idx_ref[:, 0:1] = ni
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("use_epi", "sampson_thresh",
+                                             "radius", "interpret"))
+def fused_gated_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
+                        use_epi: bool = False,
+                        sampson_thresh: float = 1.0,
+                        radius: float = 80.0, interpret: bool = False):
+    """Row-wise (best, second, argmin) of the gated L1 match problem.
+
+    Args mirror gated_distance_matrix; returns (best (N1,), second (N1,),
+    idx (N1,) int32 — global column index, -1 when the row has no
+    candidate).  N1, N2, D must be multiples of 128.
+    """
+    N1, D = q_d.shape
+    N2 = t_d.shape[0]
+    assert N1 % TILE == 0 and N2 % TILE == 0 and D % TILE == 0
+
+    f32 = jnp.float32
+    qg = jnp.zeros((N1, TILE), f32)
+    qg = qg.at[:, 0].set(q_xy[:, 0].astype(f32))
+    qg = qg.at[:, 1].set(q_xy[:, 1].astype(f32))
+    qg = qg.at[:, 2].set(q_valid.astype(f32))
+    tg = jnp.zeros((TILE, N2), f32)
+    tg = tg.at[0, :].set(t_xy[:, 0].astype(f32))
+    tg = tg.at[1, :].set(t_xy[:, 1].astype(f32))
+    tg = tg.at[2, :].set(t_valid.astype(f32))
+    fblk = jnp.zeros((8, TILE), f32)
+    if F is not None:
+        fblk = fblk.at[0, :9].set(jnp.asarray(F, f32).reshape(9))
+
+    grid = (N1 // TILE, N2 // TILE)
+    kernel = _make_kernel(use_epi, float(sampson_thresh), float(radius))
+    best, second, idx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((N1, TILE), f32),
+            jax.ShapeDtypeStruct((N1, TILE), f32),
+            jax.ShapeDtypeStruct((N1, TILE), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((TILE, TILE), f32)],
+        interpret=interpret,
+    )(qg, tg, q_d.astype(f32), t_d.astype(f32), fblk)
+
+    best = best[:, 0]
+    second = second[:, 0]
+    idx = jnp.where(best >= _BIG, -1, idx[:, 0])
+    inf = jnp.asarray(jnp.inf, f32)
+    best = jnp.where(best >= _BIG, inf, best)
+    second = jnp.where(second >= _BIG, inf, second)
+    return best, second, idx
