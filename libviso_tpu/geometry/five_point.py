@@ -320,7 +320,7 @@ def five_point_E(x1, x2):
     # back-substitute each root slot: B(z) [x, y, 1]' = 0
     def eval_rows(P, z):
         # P: (..., 3, L) ascending coeffs; z: (..., K) -> (..., K, 3)
-        zz = z[..., :, None]                                   # (..., 10, 1)
+        zz = z[..., :, None]                                   # (..., K, 1)
         out = jnp.zeros(z.shape + (3,), P.dtype) + P[..., None, :, -1]
         for i in range(P.shape[-1] - 2, -1, -1):
             out = out * zz + P[..., None, :, i]
@@ -341,7 +341,7 @@ def five_point_E(x1, x2):
     w = v[..., 2]
     w_ok = jnp.abs(w) > 1e-12
     w_safe = jnp.where(w_ok, w, 1.0)
-    xy = v[..., :2] / w_safe[..., None]                        # (..., 10, 2)
+    xy = v[..., :2] / w_safe[..., None]                        # (..., 14, 2)
 
     xyz = jnp.concatenate([xy, z[..., None]], axis=-1)         # (..., 14, 3)
     root_valid = z_valid & w_ok & gj_ok[..., None]

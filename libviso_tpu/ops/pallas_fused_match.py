@@ -92,7 +92,6 @@ def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
             # F' x2 at t (broadcast over rows):
             b1 = f00 * tx + f10 * ty + f20   # (1, TILE)
             b2 = f01 * tx + f11 * ty + f21
-            b3 = f02 * tx + f12 * ty + f22
             num = (tx * a1 + ty * a2 + a3) ** 2
             den = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
             s = num / jnp.maximum(den, 1e-30)

@@ -112,13 +112,11 @@ def detect_and_describe_multiscale(img, cfg: DetectorConfig,
             continue  # deeper level got no slot budget at all
         nbinx_l = max(1, cfg.nbinx >> l)
         nbiny_l = max(1, cfg.nbiny >> l)
-        while nbinx_l * nbiny_l > slots_l:  # tiny budgets: coarsen further
+        while nbinx_l * nbiny_l > max(slots_l, 1):  # coarsen further
             if nbinx_l >= nbiny_l and nbinx_l > 1:
                 nbinx_l = max(1, nbinx_l // 2)
             else:
                 nbiny_l = max(1, nbiny_l // 2)
-            if nbinx_l == 1 and nbiny_l == 1:
-                break
         nbins_l = nbinx_l * nbiny_l
         k_l = max(1, min(cfg.corners_per_bin, slots_l // nbins_l))
         cfg_l = DetectorConfig(

@@ -27,6 +27,7 @@ from libviso_tpu.geometry.essential import (
     normalize_points,
     ransac_essential,
     recover_pose,
+    undistort_points,
 )
 from libviso_tpu.ops.features import Keypoints, detect_and_describe
 from libviso_tpu.ops.matching import match_descriptors
@@ -73,8 +74,6 @@ def build_mono_step(K, cfg: PipelineConfig, num_hypotheses=128,
     def _norm(x):
         if Dj is None:
             return normalize_points(x, Kj)
-        from libviso_tpu.geometry.essential import undistort_points
-
         return undistort_points(x, Kj, Dj)
     # F = K^-T E K^-1 (viso.cpp:1385) for the pixel-space epipolar re-match
     Kinv = np.linalg.inv(K)
