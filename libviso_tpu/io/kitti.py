@@ -139,8 +139,10 @@ class StereoImageStream:
                 # Native path: one C++ prefetch stream over the interleaved
                 # left/right list; workers decode `prefetch` frames ahead.
                 flat = [p for lr in pairs for p in lr]
+                threads = min(4, os.cpu_count() or 1)
                 with nat.NativeImageStream(
-                        flat, threads=4, depth=2 * self.prefetch) as s:
+                        flat, threads=threads,
+                        depth=2 * self.prefetch) as s:
                     for _ in range(len(pairs)):
                         left = s.next()
                         right = s.next()
