@@ -4,7 +4,9 @@ from libviso_tpu.parallel.mesh import make_mesh
 from libviso_tpu.parallel.odometry import (
     build_chunk_odometry,
     chunk_frames_with_halo,
+    host_chunk_assignment,
     run_sharded_odometry,
+    run_sharded_odometry_multihost,
     stitch_chunk_motions,
 )
 from libviso_tpu.parallel.ba_sharding import sharded_bundle_adjust
@@ -18,7 +20,9 @@ __all__ = [
     "build_chunk_odometry",
     "build_tp_matcher",
     "chunk_frames_with_halo",
+    "host_chunk_assignment",
     "run_sharded_odometry",
+    "run_sharded_odometry_multihost",
     "sharded_bundle_adjust",
     "stitch_chunk_motions",
     "tp_match_descriptors",

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,6 +150,121 @@ def run_sharded_odometry(mesh: Mesh, P1, P2, frames_left, frames_right,
     ims2 = jax.device_put(jnp.asarray(ims2, jnp.float32), data_sharding)
     n_valid = jax.device_put(jnp.asarray(n_valid), data_sharding)
     key = jax.device_put(jax.random.PRNGKey(seed), replicated)
+
+    poses_full, keep = program(ims1, ims2, n_valid, key)
+    poses_full = np.asarray(poses_full)
+    keep = np.asarray(keep)
+    return poses_full[keep], keep
+
+
+def host_chunk_assignment(total_frames: int, n_chunks: int,
+                          process_index: int, process_count: int):
+    """Chunk-aligned per-process frame plan for multi-controller runs.
+
+    The global sequence splits into ``n_chunks`` chunks of ``L`` frames
+    (L-1 motions each, 1-frame halo overlap, exactly as
+    chunk_frames_with_halo).  Process p owns a contiguous block of
+    ``n_chunks / process_count`` chunks and must load only the frame span
+    covering them.
+
+    Returns dict with:
+      frame_start / frame_stop: [start, stop) global frames to load,
+      chunk_starts: per-owned-chunk start frame (global),
+      L: frames per chunk, n_valid: per-owned-chunk valid motion counts.
+    """
+    if n_chunks % process_count != 0:
+        raise ValueError(f"n_chunks={n_chunks} not divisible by "
+                         f"process_count={process_count}")
+    steps = total_frames - 1
+    per = -(-steps // n_chunks)  # ceil
+    L = per + 1
+    cpp = n_chunks // process_count
+    first = process_index * cpp
+    chunk_starts = [(first + b) * per for b in range(cpp)]
+    frame_start = min(chunk_starts[0], max(total_frames - 1, 0))
+    frame_stop = min(chunk_starts[-1] + L, total_frames)
+    n_valid = [max(0, min(steps - s, per)) for s in chunk_starts]
+    return {
+        "frame_start": frame_start,
+        "frame_stop": frame_stop,
+        "chunk_starts": chunk_starts,
+        "L": L,
+        "n_valid": np.asarray(n_valid, np.int32),
+    }
+
+
+def run_sharded_odometry_multihost(mesh: Mesh, P1, P2, local_left,
+                                   local_right, total_frames: int,
+                                   cfg: PipelineConfig = PipelineConfig(),
+                                   seed: int = 0, backend: str = "xla"):
+    """Multi-controller sharded odometry (SURVEY.md P1 + P7).
+
+    Every process calls this with only ITS frame span (the one
+    ``host_chunk_assignment`` assigned — typically decoded from disk by
+    that host alone); the global ('data'-sharded) chunk tensor is
+    assembled with jax.make_array_from_process_local_data and the same
+    jit program as the single-controller path runs across all hosts, XLA
+    lowering the cross-chunk pose stitching to collectives.
+
+    Args:
+      local_left/right: (frame_stop - frame_start, H, W) this host's span.
+      total_frames: GLOBAL sequence length (identical on every process).
+
+    Returns (poses (T, 4, 4), keep mask) — replicated, identical on every
+    process.
+    """
+    from libviso_tpu.geometry.mvg import F_from_P_host
+
+    n_chunks = mesh.shape["data"]
+    plan = host_chunk_assignment(total_frames, n_chunks,
+                                 jax.process_index(), jax.process_count())
+    L = plan["L"]
+    local_left = np.asarray(local_left)
+    local_right = np.asarray(local_right)
+    expect = plan["frame_stop"] - plan["frame_start"]
+    if local_left.shape[0] != expect:
+        raise ValueError(
+            f"process {jax.process_index()} must pass frames "
+            f"[{plan['frame_start']}, {plan['frame_stop']}) = {expect} "
+            f"frames, got {local_left.shape[0]}")
+
+    lefts, rights = [], []
+    for s in plan["chunk_starts"]:
+        lo = s - plan["frame_start"]
+        chunk_l = local_left[lo: lo + L]
+        chunk_r = local_right[lo: lo + L]
+        pad = L - chunk_l.shape[0]
+        if pad > 0:  # tail chunk: repeat the last frame (masked later)
+            chunk_l = np.concatenate(
+                [chunk_l, np.repeat(chunk_l[-1:], pad, 0)])
+            chunk_r = np.concatenate(
+                [chunk_r, np.repeat(chunk_r[-1:], pad, 0)])
+        lefts.append(chunk_l)
+        rights.append(chunk_r)
+    local_chunks_l = np.stack(lefts).astype(np.float32)
+    local_chunks_r = np.stack(rights).astype(np.float32)
+
+    calib = Calib.from_projections(P1, P2)
+    F = F_from_P_host(P1, P2)
+    chunk_fn = build_chunk_odometry(calib, F, cfg, backend=backend)
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+
+    ims1 = jax.make_array_from_process_local_data(data_sharding,
+                                                  local_chunks_l)
+    ims2 = jax.make_array_from_process_local_data(data_sharding,
+                                                  local_chunks_r)
+    n_valid = jax.make_array_from_process_local_data(data_sharding,
+                                                     plan["n_valid"])
+    key = jax.device_put(jax.random.PRNGKey(seed), replicated)
+
+    @functools.partial(jax.jit,
+                       out_shardings=(replicated, replicated))
+    def program(ims1, ims2, n_valid, key):
+        keys = jax.random.split(key, ims1.shape[0])
+        trs, oks = jax.vmap(chunk_fn)(ims1, ims2, keys)
+        return stitch_chunk_motions(trs, oks, n_valid)
 
     poses_full, keep = program(ims1, ims2, n_valid, key)
     poses_full = np.asarray(poses_full)
