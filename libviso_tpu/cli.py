@@ -71,19 +71,29 @@ def _cmd_kitti(args):
     extra = {}
     t0 = time.perf_counter()
     if args.ba_window > 0:
-        if args.checkpoint_every > 0 or args.save_debug:
-            sys.exit("--ba-window does not support --checkpoint-every or "
-                     "--save-debug (the windowed-BA driver has no "
-                     "checkpoint/debug hooks yet); drop the flags or run "
-                     "without --ba-window")
+        if args.save_debug:
+            sys.exit("--ba-window does not support --save-debug (the "
+                     "windowed-BA driver has no debug hooks); drop the "
+                     "flag or run without --ba-window")
         # sliding-window BA mode (BASELINE config 4): needs random access
         # over the window, so frames are staged in memory
         from libviso_tpu.pipeline.windowed import run_windowed_ba
 
+        ba_ckpt = None
+        if args.checkpoint_every > 0:
+            from libviso_tpu.utils.checkpoint import CheckpointManager
+
+            # `every` counts completed BA WINDOWS in this mode
+            ba_ckpt = CheckpointManager(
+                os.path.join(result_dir, "checkpoints"),
+                every=args.checkpoint_every)
         res = run_windowed_ba(list(stream), P1, P2, cfg,
                               window=args.ba_window,
                               stride=max(args.ba_window // 2, 1),
-                              seed=args.seed, backend=args.backend)
+                              seed=args.seed, backend=args.backend,
+                              checkpoint=ba_ckpt,
+                              fingerprint_scope=(f"{args.seq}:{args.begin}"
+                                                 f":{args.end}"))
         stats = [{"frame": t, "ok": bool(res.frame_ok[t])}
                  for t in range(len(res.poses))]
         extra["ba_windows"] = len(res.window_costs)
@@ -226,7 +236,8 @@ def main(argv=None):
     k.add_argument("--seed", type=int, default=0)
     k.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     k.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
-                   help="snapshot loop state every N frames under "
+                   help="snapshot loop state every N frames (or every N "
+                        "BA windows with --ba-window) under "
                         "results/.../checkpoints and resume from the "
                         "latest matching checkpoint (0 = off)")
     k.add_argument("--ba-window", type=int, default=0, metavar="W",

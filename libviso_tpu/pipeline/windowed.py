@@ -42,13 +42,20 @@ class WindowedResult:
 
 def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
                     window: int = 8, stride: int = 4, ba_iters: int = 10,
-                    seed: int = 0, backend: str = "xla") -> WindowedResult:
+                    seed: int = 0, backend: str = "xla",
+                    checkpoint=None,
+                    fingerprint_scope: str = "") -> WindowedResult:
     """Stereo VO + sliding-window BA over a full sequence.
 
     Args:
       frames: list of (left, right) image pairs (host arrays).
       window: frames per BA window.
       stride: window start spacing (stride < window = overlap).
+      checkpoint: optional utils.checkpoint.CheckpointManager; progress is
+        snapshotted every ``checkpoint.every`` completed WINDOWS and a run
+        resumes after the last one (per-window keys are fold_in(key, w),
+        so resume is bit-exact).  Fingerprint covers cfg/window/stride/
+        ba_iters/seed/backend + ``fingerprint_scope``.
     """
     frames = list(frames)
     T = len(frames)
@@ -78,7 +85,45 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
     if starts[-1] + window < T:
         starts.append(T - window)
 
+    w0 = 0
+    fingerprint = None
+    if checkpoint is not None:
+        from libviso_tpu.utils.checkpoint import (
+            Checkpoint,
+            config_fingerprint,
+        )
+
+        fingerprint = config_fingerprint(
+            cfg, seed, backend,
+            scope=f"ba:{window}:{stride}:{ba_iters}:{fingerprint_scope}")
+        ck = checkpoint.latest()
+        if ck is not None:
+            if ck.fingerprint != fingerprint:
+                raise ValueError(
+                    "checkpoint fingerprint mismatch (different cfg/"
+                    f"window/stride/seed/backend/scope): {ck.fingerprint}"
+                    f" != {fingerprint}")
+            w0 = ck.next_frame            # next WINDOW index here
+            motions = np.array(ck.motions, np.float32)
+            oks = np.array(ck.oks, bool)
+            motions_vo = np.array(ck.state_leaves[0], np.float32)
+            window_costs = [tuple(c) for c in ck.stats]
+
+    def _snapshot(next_window):
+        from libviso_tpu.utils.checkpoint import Checkpoint
+
+        checkpoint.save(Checkpoint(
+            next_frame=next_window,
+            motions=motions.astype(np.float64),
+            oks=oks,
+            state_leaves=[motions_vo],
+            stats=[list(c) for c in window_costs],
+            fingerprint=fingerprint,
+        ))
+
     for w, s in enumerate(starts):
+        if w < w0:  # restored from checkpoint
+            continue
         e = min(s + window, T)
         ims1 = jnp.asarray(np.stack([np.asarray(f[0]) for f in frames[s:e]]))
         ims2 = jnp.asarray(np.stack([np.asarray(f[1]) for f in frames[s:e]]))
@@ -93,6 +138,11 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         motions[s + 1:e] = use[1:]
         motions_vo[s + 1:e] = np.asarray(out.motions)[1:]
         oks[s + 1:e] = out_ok[1:] | bool(ok_ba)
+        if checkpoint is not None and (w + 1) % checkpoint.every == 0:
+            _snapshot(w + 1)
+
+    if checkpoint is not None and window_costs:
+        _snapshot(len(starts))
 
     oks[0] = False
     Ts = pose_vector_to_matrix(jnp.asarray(motions))
