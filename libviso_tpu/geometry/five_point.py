@@ -352,8 +352,13 @@ def five_point_E(x1, x2):
     # rejected by the constraint-residual check below.
     extra = jnp.asarray(_EXTRA_STARTS, xyz.dtype)
     extra = jnp.broadcast_to(extra, xyz.shape[:-2] + extra.shape)
-    xyz = jnp.concatenate([xyz, extra], axis=-2)               # (..., 16, 3)
-    xyz = _polish_xyz(basis, xyz, iters=8)
+    # Split polish budgets: root slots start within ~1e-3 of a solution
+    # (bisection+Newton already ran) and converge in a few steps, while
+    # the auxiliary basins start far away — polishing everything at the
+    # basin budget doubled the whole solver's cost.
+    xyz = _polish_xyz(basis, xyz, iters=3)
+    extra = _polish_xyz(basis, extra, iters=8)
+    xyz = jnp.concatenate([xyz, extra], axis=-2)               # (..., 22, 3)
 
     ones = jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype)
     coeff = jnp.concatenate([xyz, ones], axis=-1)
