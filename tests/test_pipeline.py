@@ -75,3 +75,23 @@ def test_first_frame_is_identity(synthetic_run):
     seq, result = synthetic_run
     np.testing.assert_allclose(result.poses[0], np.eye(4), atol=1e-6)
     assert not result.frame_ok[0]
+
+
+def test_l2_metric_trajectory_close_to_l1():
+    """config.py claims the MXU l2 metric yields near-identical match sets;
+    back it with a trajectory-level check."""
+    seq = generate_sequence(num_frames=8, num_points=400, width=256,
+                            height=128, f=200.0, seed=9)
+    cfg = PipelineConfig(
+        detector=DetectorConfig(max_features=240, nbinx=8, nbiny=3,
+                                num_slots=256),
+        ransac=RansacConfig(num_hypotheses=16, gn_iters=20),
+    )
+    r1 = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg, seed=0)
+    r2 = run_stereo_sequence(seq.frames, seq.P1, seq.P2,
+                             cfg.with_metric("l2"), seed=0)
+    assert r2.frame_ok[1:].all()
+    a1 = ate_rmse(r1.poses, seq.gt_poses)
+    a2 = ate_rmse(r2.poses, seq.gt_poses)
+    # both metrics must land in the same accuracy regime
+    assert a2 < max(2.5 * a1, 0.05), (a1, a2)
