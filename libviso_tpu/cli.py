@@ -83,9 +83,11 @@ def _cmd_kitti(args):
         if args.checkpoint_every > 0:
             from libviso_tpu.utils.checkpoint import CheckpointManager
 
-            # `every` counts completed BA WINDOWS in this mode
+            # `every` counts completed BA WINDOWS in this mode; a
+            # separate subdir keeps frame-mode and BA-mode checkpoints
+            # (incompatible numbering) independently resumable
             ba_ckpt = CheckpointManager(
-                os.path.join(result_dir, "checkpoints"),
+                os.path.join(result_dir, "checkpoints", "ba"),
                 every=args.checkpoint_every)
         res = run_windowed_ba(list(stream), P1, P2, cfg,
                               window=args.ba_window,

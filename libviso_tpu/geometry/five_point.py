@@ -362,7 +362,7 @@ def five_point_E(x1, x2):
 
     ones = jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype)
     coeff = jnp.concatenate([xyz, ones], axis=-1)
-    E = jnp.einsum("...ka,...aij->...kij", coeff, basis)       # (...,16,3,3)
+    E = jnp.einsum("...ka,...aij->...kij", coeff, basis)       # (...,22,3,3)
     E = E / jnp.maximum(
         jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1),
         1e-30)[..., None, None]

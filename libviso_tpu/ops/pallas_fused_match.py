@@ -95,7 +95,10 @@ def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
             num = (tx * a1 + ty * a2 + a3) ** 2
             den = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
             s = num / jnp.maximum(den, 1e-30)
-            ok &= s <= sampson_thresh
+            # den == 0 gives 0/0 = NaN in the unfused path, which its
+            # isfinite() gate REJECTS — match that (degenerate F / null
+            # point), instead of admitting s=0 through the clamp
+            ok &= (s <= sampson_thresh) & (den > 1e-30)
 
         # gated L1 distance tile into VMEM scratch (proven sub-chunk form)
         def body(k, _):

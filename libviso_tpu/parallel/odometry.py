@@ -30,6 +30,31 @@ from libviso_tpu.config import Calib, PipelineConfig
 from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
 
 
+def _pad_chunk(frames, lo, L):
+    """Slice ``frames[lo: lo+L]`` padded to exactly L by repeating the last
+    available frame (empty slices — a chunk starting at/past the final
+    frame — repeat the final frame itself; such chunks carry n_valid=0 and
+    their motions are masked out when stitching)."""
+    frames = np.asarray(frames)
+    lo = min(max(lo, 0), max(frames.shape[0] - 1, 0))
+    chunk = frames[lo: lo + L]
+    pad = L - chunk.shape[0]
+    if pad > 0:
+        chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+    return chunk
+
+
+def _build_stitch_program(chunk_fn):
+    """jit program shared by the single- and multi-controller drivers."""
+
+    def program(ims1, ims2, n_valid, key):
+        keys = jax.random.split(key, ims1.shape[0])
+        trs, oks = jax.vmap(chunk_fn)(ims1, ims2, keys)
+        return stitch_chunk_motions(trs, oks, n_valid)
+
+    return program
+
+
 def chunk_frames_with_halo(frames_left, frames_right, n_chunks):
     """Split (T, H, W) image stacks into overlapping chunks.
 
@@ -50,15 +75,8 @@ def chunk_frames_with_halo(frames_left, frames_right, n_chunks):
     lefts, rights, nvalid = [], [], []
     for b in range(n_chunks):
         s = b * per
-        e = min(s + L, T)
-        chunk_l = frames_left[s:e]
-        chunk_r = frames_right[s:e]
-        pad = L - chunk_l.shape[0]
-        if pad > 0:
-            chunk_l = np.concatenate([chunk_l, np.repeat(chunk_l[-1:], pad, 0)])
-            chunk_r = np.concatenate([chunk_r, np.repeat(chunk_r[-1:], pad, 0)])
-        lefts.append(chunk_l)
-        rights.append(chunk_r)
+        lefts.append(_pad_chunk(frames_left, s, L))
+        rights.append(_pad_chunk(frames_right, s, L))
         nvalid.append(max(0, min(steps - s, per)))
     return (np.stack(lefts), np.stack(rights),
             np.asarray(nvalid, np.int32))
@@ -140,11 +158,7 @@ def run_sharded_odometry(mesh: Mesh, P1, P2, frames_left, frames_right,
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
 
-    @jax.jit
-    def program(ims1, ims2, n_valid, key):
-        keys = jax.random.split(key, ims1.shape[0])
-        trs, oks = jax.vmap(chunk_fn)(ims1, ims2, keys)
-        return stitch_chunk_motions(trs, oks, n_valid)
+    program = jax.jit(_build_stitch_program(chunk_fn))
 
     ims1 = jax.device_put(jnp.asarray(ims1, jnp.float32), data_sharding)
     ims2 = jax.device_put(jnp.asarray(ims2, jnp.float32), data_sharding)
@@ -231,16 +245,8 @@ def run_sharded_odometry_multihost(mesh: Mesh, P1, P2, local_left,
     lefts, rights = [], []
     for s in plan["chunk_starts"]:
         lo = s - plan["frame_start"]
-        chunk_l = local_left[lo: lo + L]
-        chunk_r = local_right[lo: lo + L]
-        pad = L - chunk_l.shape[0]
-        if pad > 0:  # tail chunk: repeat the last frame (masked later)
-            chunk_l = np.concatenate(
-                [chunk_l, np.repeat(chunk_l[-1:], pad, 0)])
-            chunk_r = np.concatenate(
-                [chunk_r, np.repeat(chunk_r[-1:], pad, 0)])
-        lefts.append(chunk_l)
-        rights.append(chunk_r)
+        lefts.append(_pad_chunk(local_left, lo, L))
+        rights.append(_pad_chunk(local_right, lo, L))
     local_chunks_l = np.stack(lefts).astype(np.float32)
     local_chunks_r = np.stack(rights).astype(np.float32)
 
@@ -259,12 +265,8 @@ def run_sharded_odometry_multihost(mesh: Mesh, P1, P2, local_left,
                                                      plan["n_valid"])
     key = jax.device_put(jax.random.PRNGKey(seed), replicated)
 
-    @functools.partial(jax.jit,
-                       out_shardings=(replicated, replicated))
-    def program(ims1, ims2, n_valid, key):
-        keys = jax.random.split(key, ims1.shape[0])
-        trs, oks = jax.vmap(chunk_fn)(ims1, ims2, keys)
-        return stitch_chunk_motions(trs, oks, n_valid)
+    program = jax.jit(_build_stitch_program(chunk_fn),
+                      out_shardings=(replicated, replicated))
 
     poses_full, keep = program(ims1, ims2, n_valid, key)
     poses_full = np.asarray(poses_full)

@@ -95,14 +95,19 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
 
         fingerprint = config_fingerprint(
             cfg, seed, backend,
-            scope=f"ba:{window}:{stride}:{ba_iters}:{fingerprint_scope}")
+            scope=f"ba:{window}:{stride}:{ba_iters}:T{T}:"
+                  f"{fingerprint_scope}")
         ck = checkpoint.latest()
         if ck is not None:
             if ck.fingerprint != fingerprint:
                 raise ValueError(
                     "checkpoint fingerprint mismatch (different cfg/"
-                    f"window/stride/seed/backend/scope): {ck.fingerprint}"
-                    f" != {fingerprint}")
+                    f"window/stride/seed/backend/sequence/scope): "
+                    f"{ck.fingerprint} != {fingerprint}")
+            if len(ck.motions) != T:  # belt and braces vs the T in scope
+                raise ValueError(
+                    f"checkpoint covers {len(ck.motions)} frames but the "
+                    f"run has {T}; resume with the same frame list")
             w0 = ck.next_frame            # next WINDOW index here
             motions = np.array(ck.motions, np.float32)
             oks = np.array(ck.oks, bool)

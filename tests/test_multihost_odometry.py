@@ -83,3 +83,32 @@ def test_multihost_rejects_wrong_span(rng):
         run_sharded_odometry_multihost(mesh, seq.P1, seq.P2, left[:2],
                                        right[:2], total_frames=len(left),
                                        cfg=cfg)
+
+
+def test_multihost_handles_empty_tail_chunk(rng):
+    """Regression: a process whose chunk starts at/past the final frame
+    used to ship a (0, H, W) shard and abort the global array assembly."""
+    cfg = PipelineConfig(
+        detector=DetectorConfig(max_features=120, nbinx=6, nbiny=2,
+                                num_slots=128),
+        ransac=RansacConfig(num_hypotheses=8, gn_iters=5),
+    )
+    # T=6, 4 chunks: per=ceil(5/4)=2, chunk starts 0,2,4,6 — the last
+    # chunk starts AT the final frame boundary (n_valid = 0)
+    seq = generate_sequence(num_frames=6, num_points=150, width=128,
+                            height=64, f=100.0, seed=2)
+    left = np.stack([f[0] for f in seq.frames])
+    right = np.stack([f[1] for f in seq.frames])
+    mesh = make_mesh(n_data=4, n_model=2)
+    plan = host_chunk_assignment(6, 4, 0, 1)
+    poses, keep = run_sharded_odometry_multihost(
+        mesh, seq.P1, seq.P2,
+        left[plan["frame_start"]:plan["frame_stop"]],
+        right[plan["frame_start"]:plan["frame_stop"]],
+        total_frames=6, cfg=cfg, seed=0)
+    assert poses.shape == (6, 4, 4)
+    assert np.all(np.isfinite(poses))
+    # single-controller path hits the same arithmetic
+    ref, _ = run_sharded_odometry(mesh, seq.P1, seq.P2, left, right, cfg,
+                                  seed=0)
+    np.testing.assert_allclose(poses, ref, rtol=0, atol=0)
