@@ -100,3 +100,26 @@ def test_stereo_stream_uses_native(tmp_path, rng):
     assert len(frames) == n
     for (gl, gr), el, er in zip(frames, lefts, rights):
         assert np.array_equal(gl, el) and np.array_equal(gr, er)
+
+
+def test_stream_error_propagates_and_stream_continues(tmp_path, rng):
+    """A corrupt file mid-stream raises on ITS frame; later frames still
+    arrive in order (the C++ pool keeps going)."""
+    imgs, paths = [], []
+    for i in range(5):
+        img = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+        p = str(tmp_path / f"s{i}.png")
+        Image.fromarray(img, "L").save(p)
+        paths.append(p)
+        imgs.append(img)
+    with open(paths[2], "wb") as f:
+        f.write(b"garbage not a png")
+
+    with native.NativeImageStream(paths, threads=2, depth=2) as s:
+        assert np.array_equal(s.next(), imgs[0])
+        assert np.array_equal(s.next(), imgs[1])
+        with pytest.raises(IOError):
+            s.next()
+        assert np.array_equal(s.next(), imgs[3])
+        assert np.array_equal(s.next(), imgs[4])
+        assert s.next() is None
