@@ -222,6 +222,10 @@ def _cmd_eval(args):
         "rpe_rot_mean_rad": float(rerr.mean()),
     }
     out.update(kitti_trajectory_errors(est, gt))
+    if args.plot:
+        from libviso_tpu.utils.debug_viz import save_trajectory
+
+        out["plot"] = save_trajectory(args.plot, est, gt)
     print(json.dumps(out))
 
 
@@ -274,6 +278,7 @@ def main(argv=None):
     e.add_argument("est", help="estimated poses (KITTI 3x4 rows)")
     e.add_argument("gt", help="ground-truth poses (KITTI 3x4 rows)")
     e.add_argument("--delta", type=int, default=1, help="RPE frame gap")
+    e.add_argument("--plot", help="write a top-down trajectory PNG here")
     e.set_defaults(fn=_cmd_eval)
 
     args = p.parse_args(argv)

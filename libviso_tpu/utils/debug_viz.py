@@ -225,3 +225,41 @@ class DebugDumper:
                               np.asarray(predict)[:, :2],
                               self._p(f"reproj1_{t:03d}.jpg"),
                               valid=inliers)
+
+
+def save_trajectory(path, poses_est, poses_gt=None, size=(900, 900),
+                    margin=40):
+    """Top-down (x-z plane) trajectory plot: estimate in red, optional
+    ground truth in white.  The standard KITTI-style sanity artifact the
+    reference never produced."""
+    from PIL import Image, ImageDraw
+
+    est = np.asarray(poses_est)[:, [0, 2], 3]
+    tracks = [("est", est, (255, 64, 64))]
+    if poses_gt is not None:
+        gt = np.asarray(poses_gt)[:, [0, 2], 3]
+        tracks.insert(0, ("gt", gt, (255, 255, 255)))
+    allpts = np.concatenate([t[1] for t in tracks])
+    lo = allpts.min(axis=0)
+    hi = allpts.max(axis=0)
+    span = np.maximum(hi - lo, 1e-6)
+    scale = min((size[0] - 2 * margin) / span[0],
+                (size[1] - 2 * margin) / span[1])
+
+    img = Image.new("RGB", size, (24, 24, 24))
+    draw = ImageDraw.Draw(img)
+
+    def to_px(p):
+        x = margin + (p[0] - lo[0]) * scale
+        y = size[1] - margin - (p[1] - lo[1]) * scale  # +z up the image
+        return (float(x), float(y))
+
+    for name, pts, color in tracks:
+        px = [to_px(p) for p in pts]
+        if len(px) > 1:
+            draw.line(px, fill=color, width=2)
+        draw.ellipse([px[0][0] - 4, px[0][1] - 4, px[0][0] + 4,
+                      px[0][1] + 4], outline=color)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    img.save(path)
+    return path

@@ -66,3 +66,17 @@ def test_eval_too_short_exits(tmp_path):
 def test_unknown_command_exits():
     with pytest.raises(SystemExit):
         cli.main(["nope"])
+
+
+def test_eval_plot(tmp_path, capsys):
+    est = _traj(25, drift=0.05)
+    gt = _traj(25)
+    est_p, gt_p = str(tmp_path / "e.txt"), str(tmp_path / "g.txt")
+    save_poses_kitti(est_p, est)
+    save_poses_kitti(gt_p, gt)
+    plot = str(tmp_path / "traj.png")
+    cli.main(["eval", est_p, gt_p, "--plot", plot])
+    out = json.loads(capsys.readouterr().out)
+    assert out["plot"] == plot
+    import os
+    assert os.path.getsize(plot) > 500
