@@ -191,3 +191,91 @@ class StereoCam:
 
     def F(self):
         return F_from_P(self.p1(), self.p2())
+
+
+def _rodrigues(axis_angle):
+    """Rotation matrix from an axis-angle vector (Rodrigues)."""
+    v = jnp.asarray(axis_angle)
+    theta = jnp.linalg.norm(v)
+    safe = jnp.where(theta > 1e-12, theta, 1.0)
+    k = v / safe
+    K = jnp.array([[0.0, -k[2], k[1]],
+                   [k[2], 0.0, -k[0]],
+                   [-k[1], k[0], 0.0]], v.dtype)
+    R = (jnp.eye(3, dtype=v.dtype) + jnp.sin(theta) * K
+         + (1.0 - jnp.cos(theta)) * (K @ K))
+    return jnp.where(theta > 1e-12, R, jnp.eye(3, dtype=v.dtype))
+
+
+def _log_so3(R):
+    """Axis-angle vector of a rotation matrix."""
+    R = jnp.asarray(R)
+    cos = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    w = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                   R[1, 0] - R[0, 1]], R.dtype)
+    s = jnp.where(theta > 1e-12, 2.0 * jnp.sin(theta), 1.0)
+    return jnp.where(theta > 1e-12, w * theta / s, 0.5 * w)
+
+
+def stereo_rectify(rig):
+    """Compute the rectification a StereoCam carries but the reference
+    never derives (mvg.h:112-118 declares R1, R2, P1, P2, Q; OpenCV's
+    stereoRectify filled them upstream).  Bouguet's method:
+
+      - split the inter-camera rotation evenly: each camera rotates by
+        half of R (so both images distort equally),
+      - rotate both so the new x-axis aligns with the (rotated) baseline,
+      - rectified intrinsics share f and cv; cu is kept per-camera from
+        the originals (zero-disparity at infinity along x).
+
+    Returns a new StereoCam with R1, R2, P1, P2, Q populated.  After
+    rectification x2 = R2 (R x1 + t), x1' = R1 x1 have identical v
+    coordinates for corresponding points (tested) — the precondition for
+    triangulate_rectified and the stereo pipeline's epipolar gate.
+    """
+    import dataclasses as _dc
+
+    R = jnp.asarray(rig.R)
+    t = jnp.asarray(rig.t).reshape(3)
+
+    # Balanced split: R1 = A B1, R2 = A B2 with B1 = exp(r/2),
+    # B2 = exp(-r/2) = B1 R^-1 (same axis, angles add), so both cameras
+    # rotate by half the relative rotation and R2 R = R1 holds — the
+    # condition that makes the rectified pair differ only by the baseline.
+    r = _log_so3(R)
+    B1 = _rodrigues(0.5 * r)
+    B2 = _rodrigues(-0.5 * r)
+
+    # The rectified x-axis must align with R2 t (the baseline as seen by
+    # the half-rotated second camera); sign chosen so x2' = x1' - b*x_hat
+    # (positive disparity).
+    u = B2 @ t
+    e1 = -u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    up = jnp.array([0.0, 0.0, 1.0], R.dtype)
+    e2 = jnp.cross(up, e1)
+    e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-12)
+    e3 = jnp.cross(e1, e2)
+    R_align = jnp.stack([e1, e2, e3])     # rows
+
+    R1 = R_align @ B1
+    R2 = R_align @ B2
+
+    K1 = jnp.asarray(rig.c1.K)
+    K2 = jnp.asarray(rig.c2.K)
+    f = (K1[1, 1] + K2[1, 1]) / 2.0
+    cv = (K1[1, 2] + K2[1, 2]) / 2.0
+    cu = (K1[0, 2] + K2[0, 2]) / 2.0
+    baseline = jnp.linalg.norm(t)
+
+    Kr = jnp.array([[f, 0.0, cu], [0.0, f, cv], [0.0, 0.0, 1.0]], R.dtype)
+    P1 = jnp.concatenate([Kr, jnp.zeros((3, 1), R.dtype)], axis=1)
+    P2 = jnp.concatenate(
+        [Kr, jnp.array([[-f * baseline], [0.0], [0.0]], R.dtype)], axis=1)
+    Q = jnp.array([
+        [1.0, 0.0, 0.0, -cu],
+        [0.0, 1.0, 0.0, -cv],
+        [0.0, 0.0, 0.0, f],
+        [0.0, 0.0, 1.0 / baseline, 0.0],
+    ], R.dtype)
+    return _dc.replace(rig, R1=R1, R2=R2, P1=P1, P2=P2, Q=Q)

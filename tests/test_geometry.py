@@ -208,3 +208,55 @@ def test_camera_default_distortion():
     cam = Camera(K=jnp.eye(3))
     assert cam.D.shape == (4,)
     assert float(jnp.abs(cam.D).max()) == 0.0
+
+
+def test_stereo_rectify_oracle(rng):
+    """Bouguet rectification: rectified projections of corresponding
+    points share v exactly, disparity is positive, the P2 baseline model
+    holds, and Q recovers depth — the precondition for the pipeline's
+    rectified triangulation (mvg.h:112-118 fields, computed here)."""
+    from libviso_tpu.geometry.mvg import (
+        Camera,
+        StereoCam,
+        _rodrigues,
+        stereo_rectify,
+    )
+
+    K = jnp.asarray([[500.0, 0, 320], [0, 510, 240], [0, 0, 1]])
+    Rw = np.asarray(_rodrigues(jnp.asarray([0.02, -0.05, 0.01])))
+    t = np.array([-0.54, 0.01, -0.02])
+    rig = stereo_rectify(StereoCam(c1=Camera(K=K), c2=Camera(K=K),
+                                   R=Rw, t=t))
+    R1 = np.asarray(rig.R1)
+    R2 = np.asarray(rig.R2)
+    assert np.allclose(R1 @ R1.T, np.eye(3), atol=1e-5)
+    assert np.allclose(R2 @ Rw, R1, atol=1e-5)
+
+    X = np.stack([rng.uniform(-2, 2, 50), rng.uniform(-1, 1, 50),
+                  rng.uniform(3, 10, 50)], -1)
+    x1r = (R1 @ X.T).T
+    x2r = (R2 @ ((Rw @ X.T).T + t).T).T
+    Kr = np.asarray(rig.P1)[:, :3]
+    p1 = (Kr @ x1r.T).T
+    p1 = p1[:, :2] / p1[:, 2:3]
+    p2 = (Kr @ x2r.T).T
+    p2 = p2[:, :2] / p2[:, 2:3]
+    assert np.abs(p1[:, 1] - p2[:, 1]).max() < 1e-3     # epipolar rows
+    d = p1[:, 0] - p2[:, 0]
+    assert (d > 0).all()                                # positive disparity
+    base = np.linalg.norm(t)
+    Z = float(np.asarray(rig.Q)[2, 3]) * base / d       # f*b/d
+    assert np.abs(Z - x1r[:, 2]).max() < 1e-3
+
+
+def test_rodrigues_log_roundtrip(rng):
+    from libviso_tpu.geometry.mvg import _log_so3, _rodrigues
+
+    for _ in range(5):
+        v = jnp.asarray(rng.uniform(-1.5, 1.5, 3))
+        R = _rodrigues(v)
+        np.testing.assert_allclose(np.asarray(_log_so3(R)), np.asarray(v),
+                                   atol=1e-5)
+    # identity edge case
+    np.testing.assert_allclose(
+        np.asarray(_rodrigues(jnp.zeros(3))), np.eye(3), atol=1e-7)
