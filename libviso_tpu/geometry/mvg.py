@@ -279,3 +279,47 @@ def stereo_rectify(rig):
         [0.0, 0.0, 1.0 / baseline, 0.0],
     ], R.dtype)
     return _dc.replace(rig, R1=R1, R2=R2, P1=P1, P2=P2, Q=Q)
+
+
+def _bilinear_sample(img, x, y):
+    """Bilinear sample of (H, W) ``img`` at float coords; zero outside."""
+    img = jnp.asarray(img)
+    H, W = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    inside = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    return jnp.where(inside, out, 0.0)
+
+
+def rectification_warp(img, K_src, R_rect, K_rect):
+    """Warp an image into its rectified frame (inverse homography map).
+
+    For a pure rotation the source pixel of rectified pixel p is
+    ``K_src R_rect^T K_rect^-1 p`` — each output pixel bilinearly samples
+    the source there (zero outside).  Apply with (rig.c1.K, rig.R1,
+    rig.P1[:, :3]) and (rig.c2.K, rig.R2, ...) from stereo_rectify to feed
+    unrectified rigs into the rectified stereo pipeline.
+    """
+    img = jnp.asarray(img, jnp.float32)
+    H, W = img.shape
+    Hmat = (jnp.asarray(K_src) @ jnp.asarray(R_rect).T
+            @ jnp.linalg.inv(jnp.asarray(K_rect)))
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    ones = jnp.ones_like(xs)
+    src = jnp.einsum("ij,jhw->ihw", Hmat, jnp.stack([xs, ys, ones]))
+    sx = src[0] / src[2]
+    sy = src[1] / src[2]
+    return _bilinear_sample(img, sx, sy)

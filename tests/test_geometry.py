@@ -260,3 +260,26 @@ def test_rodrigues_log_roundtrip(rng):
     # identity edge case
     np.testing.assert_allclose(
         np.asarray(_rodrigues(jnp.zeros(3))), np.eye(3), atol=1e-7)
+
+
+def test_rectification_warp_roundtrip(rng):
+    """Warping with the identity rectification is the identity; warping by
+    a known rotation moves a bright dot where the homography predicts."""
+    from libviso_tpu.geometry.mvg import (
+        _rodrigues,
+        rectification_warp,
+    )
+
+    K = jnp.asarray([[100.0, 0, 64], [0, 100, 32], [0, 0, 1]])
+    img = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+    out = rectification_warp(img, K, jnp.eye(3), K)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+    # dot test: place a spike, warp by small rotation, locate the spike
+    img2 = jnp.zeros((64, 128)).at[30:32, 70:72].set(255.0)
+    R = _rodrigues(jnp.asarray([0.0, 0.02, 0.0]))
+    out2 = np.asarray(rectification_warp(img2, K, R, K))
+    yy, xx = np.unravel_index(np.argmax(out2), out2.shape)
+    # predicted: p_rect = K R K^-1 p_src
+    p = np.asarray(K) @ np.asarray(R) @ np.linalg.inv(np.asarray(K)) @ [71, 31, 1]
+    assert abs(xx - p[0] / p[2]) < 2 and abs(yy - p[1] / p[2]) < 2
