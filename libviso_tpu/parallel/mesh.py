@@ -27,3 +27,14 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = len(devices) // n_model
     use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, ("data", "model"))
+
+
+def make_pipe_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """Build the 2-device ('pipe',) mesh for staged odometry (SURVEY.md
+    P4, parallel/pp_odometry.py): stage 0 = feature front-end, stage 1 =
+    match/solve back-end."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < 2:
+        raise ValueError("pipeline parallelism needs 2 devices")
+    return Mesh(np.asarray(devices[:2]), ("pipe",))

@@ -68,6 +68,17 @@ class FrameDebug(NamedTuple):
     predict: jax.Array      # (N, 4) reprojections under the estimated tr
 
 
+class Feats(NamedTuple):
+    """Front-end output for one stereo frame: the tensors that cross the
+    stage boundary in the pipeline-parallel layout (parallel/pp_odometry.py)
+    and the detect->match seam inside the fused single-chip step."""
+
+    kp1: Keypoints   # left keypoints
+    d1: jax.Array    # (N, D) left descriptors
+    kp2: Keypoints   # right keypoints
+    d2: jax.Array    # (N, D) right descriptors
+
+
 def empty_state(cfg: PipelineConfig, dtype=jnp.float32) -> FrameState:
     """All-invalid state for the first frame (``first`` flag analog)."""
     n = cfg.detector.num_slots
@@ -86,26 +97,16 @@ def empty_state(cfg: PipelineConfig, dtype=jnp.float32) -> FrameState:
     )
 
 
-def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
-                     backend: str = "xla", debug: bool = False):
-    """Build the jit-compiled per-frame VO step.
+def build_frontend(cfg: PipelineConfig):
+    """Build the per-frame FRONT-END: detection + description only.
 
-    Args:
-      calib: rectified stereo calibration.
-      F: (3, 3) fundamental matrix for the LR epipolar gate (computed once
-        per sequence on the host in f64 — see F_from_P_host).
-      cfg: pipeline configuration (static).
-      backend: descriptor-distance backend ('xla' | 'pallas').
-      debug: also return a FrameDebug with the tensors the artifact
-        writer needs (reference param.save_debug analog, src/viso.h:60).
-
-    Returns:
-      step(state, im1, im2, key) -> (new_state, FrameOutput[, FrameDebug]),
-      jittable.
+    frontend(im1, im2) -> Feats.  Depends only on the current frame's
+    images — this is the stage-0 half of the pipeline-parallel split
+    (SURVEY.md P4); `build_frame_step` composes it with `build_backend`
+    for the fused single-chip step.
     """
-    F = jnp.asarray(F)
 
-    def step(state: FrameState, im1, im2, key):
+    def frontend(im1, im2) -> Feats:
         # Both views detected as one vmapped batch: one fused kernel
         # launch, 2x arithmetic intensity (vs the reference's two serial
         # detector.detect calls, viso.cpp:1226-1227).
@@ -113,8 +114,39 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
             lambda im: detect_and_describe(im, cfg.detector)
         )(jnp.stack([im1, im2]))
         pick = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
-        kp1, d1 = pick(kps, 0), ds[0]
-        kp2, d2 = pick(kps, 1), ds[1]
+        return Feats(kp1=pick(kps, 0), d1=ds[0],
+                     kp2=pick(kps, 1), d2=ds[1])
+
+    return frontend
+
+
+def zero_feats(cfg: PipelineConfig, dtype=jnp.float32) -> Feats:
+    """All-invalid Feats (pipeline bubble filler; running the back-end on
+    this is equivalent to running it on an empty first frame)."""
+    n = cfg.detector.num_slots
+    d = cfg.detector.descriptor_dim_padded
+    kp = Keypoints(
+        xy=jnp.zeros((n, 2), dtype),
+        response=jnp.zeros((n,), dtype),
+        valid=jnp.zeros((n,), bool),
+    )
+    return Feats(kp1=kp, d1=jnp.zeros((n, d), dtype),
+                 kp2=kp, d2=jnp.zeros((n, d), dtype))
+
+
+def build_backend(calib: Calib, F, cfg: PipelineConfig,
+                  backend: str = "xla", debug: bool = False):
+    """Build the per-frame BACK-END: matching through pose estimation.
+
+    backend_fn(feats, state, key) -> (new_state, FrameOutput[, FrameDebug]).
+    Consumes the front-end's features for the CURRENT frame plus the
+    previous-frame state — the stage-1 half of the pipeline-parallel split
+    (SURVEY.md P4).
+    """
+    F = jnp.asarray(F)
+
+    def backend_fn(feats: Feats, state: FrameState, key):
+        kp1, d1, kp2, d2 = feats.kp1, feats.d1, feats.kp2, feats.d2
 
         # All three match problems (LR epipolar-gated + both temporal,
         # viso.cpp:1240,1264,1275) as ONE vmapped (3, N, N) batch.
@@ -162,6 +194,32 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
                              predict=predict)
             return new_state, out, dbg
         return new_state, out
+
+    return backend_fn
+
+
+def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
+                     backend: str = "xla", debug: bool = False):
+    """Build the jit-compiled per-frame VO step (frontend ∘ backend).
+
+    Args:
+      calib: rectified stereo calibration.
+      F: (3, 3) fundamental matrix for the LR epipolar gate (computed once
+        per sequence on the host in f64 — see F_from_P_host).
+      cfg: pipeline configuration (static).
+      backend: descriptor-distance backend ('xla' | 'pallas').
+      debug: also return a FrameDebug with the tensors the artifact
+        writer needs (reference param.save_debug analog, src/viso.h:60).
+
+    Returns:
+      step(state, im1, im2, key) -> (new_state, FrameOutput[, FrameDebug]),
+      jittable.
+    """
+    frontend = build_frontend(cfg)
+    backend_fn = build_backend(calib, F, cfg, backend=backend, debug=debug)
+
+    def step(state: FrameState, im1, im2, key):
+        return backend_fn(frontend(im1, im2), state, key)
 
     return step
 
