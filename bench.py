@@ -21,6 +21,9 @@ Flags:
   --metric=l1|l2   descriptor metric (default l1 = reference parity;
                    l2 rides the MXU)
   --backend=xla|pallas   L1 inner-loop implementation
+  --hyp=gn|procrustes    RANSAC hypothesis estimator (default gn =
+                   reference parity; procrustes = closed-form Kabsch
+                   init + short polish, same trajectories)
   --window=N       frames per batched --upload step (default 8)
   --reps=N         timed repetitions (default 30)
 
@@ -64,12 +67,19 @@ def main():
 
     metric = _flag("metric", "l1")
     backend = _flag("backend", "xla")
+    hyp = _flag("hyp", "gn")
     window = int(_flag("window", "8"))
     reps = int(_flag("reps", "30"))
     staged = "--staged" in sys.argv
     streaming = "--upload" not in sys.argv and not staged
 
     cfg = PipelineConfig().with_metric(metric)
+    if hyp != "gn":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, ransac=dataclasses.replace(cfg.ransac,
+                                            hypothesis_method=hyp))
     seq = generate_sequence(num_frames=max(window, 10), num_points=900,
                             seed=0, width=1241, height=376, f=718.856,
                             base=0.5371657, speed=0.8)

@@ -148,6 +148,18 @@ class RansacConfig:
     # no measurable trajectory change (the full `gn_iters` budget still
     # applies to the accuracy-critical inlier refit).
     fit_gn_iters: int = 30
+    # Minimal-sample hypothesis estimator:
+    #   'gn'         — iterative Gauss-Newton reprojection fit from zero
+    #                  init, the reference's method (viso.cpp:1559).
+    #   'procrustes' — closed-form 3D-3D Kabsch alignment between the
+    #                  previous-frame points and the triangulated
+    #                  current-frame points (the reference's OTHER
+    #                  estimator, solveRigidMotion estimation.cpp:29-51 /
+    #                  ransacRigidMotion viso.cpp:1101-1135).  One batched
+    #                  3x3 SVD replaces the fit while_loop entirely;
+    #                  the accuracy-critical inlier refit stays GN either
+    #                  way, so trajectories agree to solver tolerance.
+    hypothesis_method: str = "gn"
     inlier_threshold: float = 2.0
     converge_thresh: float = 1e-4
     min_inliers: int = 6

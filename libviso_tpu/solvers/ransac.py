@@ -62,30 +62,57 @@ def ransac_pose(key, X, observe, valid, calib: Calib,
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
     _, sample_idx = jax.lax.top_k(scores, cfg.model_size)  # (H, k)
 
-    # --- fit: vmapped GN on the gathered minimal sets ---
-    # Capped iteration budget: the vmapped while_loop runs until the
-    # slowest hypothesis lane finishes, so one degenerate sample would pin
-    # all lanes at the full gn_iters (see RansacConfig.fit_gn_iters).
     Xs = X[sample_idx]                  # (H, k, 3)
     obs_s = observe[sample_idx]         # (H, k, 4)
-    w_s = jnp.ones((H, cfg.model_size), dtype=dtype)
-    tr0 = jnp.zeros((H, 6), dtype=dtype)
-    fit_cfg = dataclasses.replace(cfg, gn_iters=min(cfg.fit_gn_iters,
-                                                    cfg.gn_iters))
-    fit = gauss_newton(Xs, obs_s, w_s, tr0, calib, fit_cfg)
+    if cfg.hypothesis_method == "procrustes":
+        # --- fit: closed-form 3D-3D Kabsch alignment (the reference's
+        # alternative estimator, estimation.cpp:29-51) between previous
+        # points and the triangulated CURRENT points — one batched 3x3
+        # SVD instead of the fit while_loop; degenerate (collinear)
+        # samples yield poor models that the inlier scoring rejects.
+        from libviso_tpu.geometry.procrustes import solve_rigid_motion
+        from libviso_tpu.geometry.se3 import matrix_to_pose_vector
+        from libviso_tpu.geometry.triangulate import triangulate_rectified
+
+        Xc = triangulate_rectified(observe, calib.f, calib.base, calib.cu,
+                                   calib.cv)
+        T = solve_rigid_motion(Xc[sample_idx], Xs)  # (H,4,4): T@Xprev~Xcur
+        tr0 = matrix_to_pose_vector(T).astype(dtype)
+        # Short GN polish from the closed-form init: the Kabsch solve
+        # weights 3D (depth) error, which is noisy for distant points;
+        # a few image-space steps restore reprojection-optimal
+        # hypotheses at a fraction of the from-zero budget.
+        w_s = jnp.ones((H, cfg.model_size), dtype=dtype)
+        fit_cfg = dataclasses.replace(
+            cfg, gn_iters=min(cfg.fit_gn_iters, cfg.gn_iters, 8))
+        fit = gauss_newton(Xs, obs_s, w_s, tr0, calib, fit_cfg)
+        hyp_tr = fit.tr
+        # a non-converged polish still carries a usable closed-form model
+        hyp_converged = jnp.ones((H,), bool)
+    else:
+        # --- fit: vmapped GN on the gathered minimal sets ---
+        # Capped iteration budget: the vmapped while_loop runs until the
+        # slowest hypothesis lane finishes, so one degenerate sample would
+        # pin all lanes at the full gn_iters (RansacConfig.fit_gn_iters).
+        w_s = jnp.ones((H, cfg.model_size), dtype=dtype)
+        tr0 = jnp.zeros((H, 6), dtype=dtype)
+        fit_cfg = dataclasses.replace(cfg, gn_iters=min(cfg.fit_gn_iters,
+                                                        cfg.gn_iters))
+        fit = gauss_newton(Xs, obs_s, w_s, tr0, calib, fit_cfg)
+        hyp_tr, hyp_converged = fit.tr, fit.converged
 
     # --- score: unweighted reprojection error of every point under every
     # hypothesis; one batched evaluation (H, N) ---
-    err2 = reprojection_errors_sq(fit.tr, X[None], observe[None], calib)
+    err2 = reprojection_errors_sq(hyp_tr, X[None], observe[None], calib)
     thr2 = cfg.inlier_threshold**2
-    inl = (err2 < thr2) & valid[None, :] & fit.converged[:, None]
+    inl = (err2 < thr2) & valid[None, :] & hyp_converged[:, None]
     counts = jnp.sum(inl, axis=-1)
     best = jnp.argmax(counts)
 
     # --- refit on the best support set (masked weights, full point set) ---
     best_mask = inl[best]
     refit = gauss_newton(X, observe, best_mask.astype(dtype),
-                         jnp.asarray(fit.tr[best]), calib, cfg)
+                         jnp.asarray(hyp_tr[best]), calib, cfg)
     err2_f = reprojection_errors_sq(refit.tr, X, observe, calib)
     final_mask = (err2_f < thr2) & valid
     n_final = jnp.sum(final_mask)

@@ -144,3 +144,21 @@ def test_reprojection_error_zero_at_truth(rng):
     X, observe, tr_true = make_problem(rng, n=40)
     err2 = reprojection_errors_sq(tr_true, X, observe, CALIB)
     np.testing.assert_allclose(err2, 0.0, atol=1e-4)
+
+
+def test_ransac_pose_procrustes_hypotheses(rng):
+    """Closed-form Kabsch hypothesis mode (RansacConfig.hypothesis_method)
+    recovers the same pose as the reference-style GN fit: the polish +
+    identical inlier refit converge to the same optimum."""
+    X, observe, tr_true = make_problem(rng, n=150, pixel_noise=0.3,
+                                       outlier_frac=0.25)
+    valid = jnp.ones(150, dtype=bool)
+    key = jax.random.PRNGKey(3)
+    gn = ransac_pose(key, X, observe, valid, CALIB,
+                     RansacConfig(num_hypotheses=64))
+    pro = ransac_pose(key, X, observe, valid, CALIB,
+                      RansacConfig(num_hypotheses=64,
+                                   hypothesis_method="procrustes"))
+    assert bool(pro.ok)
+    np.testing.assert_allclose(pro.tr, tr_true, atol=0.01)
+    np.testing.assert_allclose(pro.tr, gn.tr, atol=1e-3)
