@@ -68,6 +68,14 @@ class DetectorConfig:
     aperture: int = 5
     descriptor_radius: int = 5
     num_slots: int = 1280  # fixed keypoint tensor size (>= max_features)
+    # Patch-gather implementation for the Sobel descriptor windows:
+    #   'onehot' — two chained 0/1-selection matmuls (columns then rows)
+    #              that ride the MXU; bitwise identical to 'take' (each
+    #              output has exactly one nonzero contribution, and the
+    #              bf16x3 passes reconstruct f32 exactly) at ~2x the
+    #              speed on TPU (docs/performance.md).
+    #   'take'   — flat XLA gather (scalar-unit bound).
+    descriptor_gather: str = "onehot"
     # Beyond-reference options (BASELINE config 3):
     pyramid_levels: int = 1  # >1 enables multi-scale detection
     subpixel: bool = False   # quadratic subpixel corner refinement

@@ -184,19 +184,42 @@ def extract_descriptors(img, kp: Keypoints,
     sob = sobel_derivatives(img, ksize=3, dx=True, scale=1.0)
     padded = jnp.pad(sob, ((r, r), (r, r)))  # zeros outside the image
 
-    # One flat gather for all patches: (N, d*d) indices into the padded
-    # image.  A vmapped dynamic_slice lowers to N separate gathers and is
-    # ~3x slower on TPU.  round: subpixel-refined keypoints carry
-    # fractional coordinates, the descriptor grid stays integral.
+    # round: subpixel-refined keypoints carry fractional coordinates, the
+    # descriptor grid stays integral.
     Hp, Wp = padded.shape
+    N = kp.xy.shape[0]
     x = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, Wp - d)
     y = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, Hp - d)
     off = jnp.arange(d, dtype=jnp.int32)
-    rows = y[:, None] + off[None, :]                      # (N, d)
-    cols = x[:, None] + off[None, :]                      # (N, d)
-    flat = (rows[:, :, None] * Wp + cols[:, None, :]).reshape(
-        kp.xy.shape[0], d * d)                            # (N, d*d)
-    desc = jnp.take(padded.reshape(-1), flat, axis=0)
+    if cfg.descriptor_gather == "onehot":
+        # The gather as two chained 0/1-selection matmuls (columns, then
+        # rows) so the MXU does the patch extraction — ~2x the flat
+        # gather's speed at KITTI scale (docs/performance.md).  Exact:
+        # every output element has exactly one nonzero contribution and
+        # Precision.HIGH's bf16x3 passes reconstruct f32 bit-exactly, so
+        # descriptors are bitwise identical to the 'take' path (tested).
+        cidx = (x[:, None] + off[None, :]).reshape(N * d)        # (N*d,)
+        colsel = (jnp.arange(Wp)[:, None] == cidx[None, :]).astype(
+            padded.dtype)                                        # (Wp, N*d)
+        cols = jax.lax.dot_general(
+            padded, colsel, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH)                    # (Hp, N*d)
+        cols = cols.reshape(Hp, N, d).transpose(1, 0, 2)         # (N, Hp, d)
+        ridx = y[:, None] + off[None, :]                         # (N, d)
+        rowsel = (jnp.arange(Hp)[None, None, :] ==
+                  ridx[:, :, None]).astype(padded.dtype)         # (N, d, Hp)
+        desc = jnp.einsum("nrh,nhc->nrc", rowsel, cols,
+                          precision=jax.lax.Precision.HIGH
+                          ).reshape(N, d * d)
+    else:
+        # One flat gather for all patches: (N, d*d) indices into the
+        # padded image.  A vmapped dynamic_slice lowers to N separate
+        # gathers and is ~3x slower on TPU.
+        rows = y[:, None] + off[None, :]                  # (N, d)
+        cols = x[:, None] + off[None, :]                  # (N, d)
+        flat = (rows[:, :, None] * Wp + cols[:, None, :]).reshape(
+            N, d * d)                                     # (N, d*d)
+        desc = jnp.take(padded.reshape(-1), flat, axis=0)
     pad = cfg.descriptor_dim_padded - desc.shape[-1]
     desc = jnp.pad(desc, ((0, 0), (0, pad)))
     return jnp.where(kp.valid[:, None], desc, 0.0)

@@ -150,3 +150,24 @@ def test_descriptor_border_keypoint(rng):
     desc = extract_descriptors(jnp.asarray(img, jnp.float32), kp, cfg)
     expected = numpy_descriptor(img, [(0, 0), (63, 31)], 5)
     np.testing.assert_allclose(np.asarray(desc)[:2, :121], expected, atol=1e-3)
+
+
+def test_descriptor_gather_onehot_bitexact():
+    """The MXU one-hot patch gather must be bitwise identical to the flat
+    XLA gather (each output has exactly one nonzero contribution; bf16x3
+    passes reconstruct f32 exactly)."""
+    import dataclasses
+
+    from libviso_tpu.config import DetectorConfig
+    from libviso_tpu.ops.features import detect_harris_binned, \
+        extract_descriptors
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.integers(0, 256, (160, 416)), jnp.float32)
+    cfg = DetectorConfig(max_features=240, nbinx=8, nbiny=3, num_slots=256)
+    kp = detect_harris_binned(img, cfg)
+    d_onehot = extract_descriptors(
+        img, kp, dataclasses.replace(cfg, descriptor_gather="onehot"))
+    d_take = extract_descriptors(
+        img, kp, dataclasses.replace(cfg, descriptor_gather="take"))
+    np.testing.assert_array_equal(np.asarray(d_onehot), np.asarray(d_take))
