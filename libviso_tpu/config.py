@@ -168,6 +168,10 @@ class RansacConfig:
     #                  the accuracy-critical inlier refit stays GN either
     #                  way, so trajectories agree to solver tolerance.
     hypothesis_method: str = "gn"
+    # Masked GN steps per while_loop iteration (results are bit-identical
+    # for any factor — converged lanes freeze under the mask; the factor
+    # only trades redundant tail compute against loop-condition overhead).
+    gn_unroll: int = 2
     inlier_threshold: float = 2.0
     converge_thresh: float = 1e-4
     min_inliers: int = 6

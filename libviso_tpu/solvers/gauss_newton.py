@@ -202,10 +202,13 @@ def gauss_newton(X, observe, weights, tr0, calib: Calib,
         )
 
     def unrolled_body(state):
-        # Two masked GN steps per while iteration: the loop's fixed
-        # per-iteration overhead (~tens of µs on-device) is paid half as
-        # often; the masking keeps per-lane semantics identical.
-        return masked_body(masked_body(state))
+        # cfg.gn_unroll masked GN steps per while iteration: the loop's
+        # fixed per-iteration overhead (~tens of µs on-device) is paid
+        # 1/unroll as often; the masking keeps per-lane semantics
+        # IDENTICAL for any unroll factor (converged lanes freeze).
+        for _ in range(cfg.gn_unroll):
+            state = masked_body(state)
+        return state
 
     tr, converged, iters, failed = jax.lax.while_loop(cond, unrolled_body,
                                                       init)
