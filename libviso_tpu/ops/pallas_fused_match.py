@@ -33,6 +33,22 @@ default backend; it exists as the explicit fused-dataflow implementation
 of SURVEY.md stage 4 and becomes the right tool when N grows past what
 XLA's fusion window covers (the running 2-min needs O(N1) memory vs the
 unfused path's O(N1*N2)).
+
+Block-sparse variants (``fused_sweep_two_min``/``sorted_fused_two_min``):
+the 80 px position gate rejects ~85% of pairs, and with x-sorted slots a
+per-tile bounding-box test (SMEM-precomputed boxes) skips whole 128x128
+tiles EXACTLY — the gated sparsity turned into skipped compute.  Verified
+bit-equal to the dense path and ~18% faster standalone at KITTI shapes
+(1.44 vs 1.72 ms incl. wrapper), but NOT a pipeline win on this
+development tunnel: decomposition shows (a) jnp.argsort(1280) costs
+~0.6 ms each (XLA bitonic = ~110 serial VPU passes) and (b) a pallas_call
+carries ~1.2 ms of launch overhead here even when every tile skips —
+together they exceed the ~0.6 ms of skippable arithmetic, so the dense
+batched XLA matcher (3 problems in one launch, ops/matching.py) stays the
+default.  At production dispatch latencies (or N >= 4-8k slots where
+compute dominates fixed costs) the sorted sweep becomes the right
+backend; the x-ordering can then come free from a static bin permutation
+(detection emits bin-major slots) instead of a runtime sort.
 """
 
 from __future__ import annotations
@@ -71,6 +87,20 @@ def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
         tx = tg[0:1, :]
         ty = tg[1:2, :]
         tv = tg[2:3, :]
+
+        # Tile bounding boxes: when the minimal L1 position distance
+        # between the two tiles' boxes already exceeds the radius, every
+        # pair in the tile is gated out and the whole distance sweep can
+        # be skipped — EXACT, since the gate below would mask all of it.
+        # With x-sorted inputs (sorted_* wrappers) most tiles skip: the
+        # 80 px radius covers ~13% of a KITTI image width.
+        dx_gap = jnp.maximum(jnp.min(tx) - jnp.max(qx),
+                             jnp.min(qx) - jnp.max(tx))
+        dy_gap = jnp.maximum(jnp.min(ty) - jnp.max(qy),
+                             jnp.min(qy) - jnp.max(ty))
+        live = (jnp.maximum(dx_gap, 0.0) + jnp.maximum(dy_gap, 0.0)
+                < radius)
+
         pos = jnp.abs(qx - tx) + jnp.abs(qy - ty)
         ok = (pos < radius) & (qv > 0.5) & (tv > 0.5)
         if use_epi:
@@ -100,40 +130,42 @@ def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
             # point), instead of admitting s=0 through the clamp
             ok &= (s <= sampson_thresh) & (den > 1e-30)
 
-        # gated L1 distance tile into VMEM scratch (proven sub-chunk form)
-        def body(k, _):
-            a_chunk = qd_ref[pl.ds(k * sub, sub), :]
-            diff = jnp.abs(a_chunk[:, None, :] - b[None, :, :])
-            dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
-            return 0
+        @pl.when(live)
+        def _compute():
+            # gated L1 distance tile into VMEM scratch (sub-chunk form)
+            def body(k, _):
+                a_chunk = qd_ref[pl.ds(k * sub, sub), :]
+                diff = jnp.abs(a_chunk[:, None, :] - b[None, :, :])
+                dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
+                return 0
 
-        jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
+            jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
 
-        dd = jnp.where(ok, dd_ref[:], _BIG)
+            dd = jnp.where(ok, dd_ref[:], _BIG)
 
-        # tile-local 2-min over columns + global column indices
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-        tb = jnp.min(dd, axis=1, keepdims=True)              # (TILE, 1)
-        is_min = dd == tb
-        tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
-                           keepdims=True)
-        dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
-        ts = jnp.min(dd2, axis=1, keepdims=True)
-        tidx = (tidx_loc + j * TILE).astype(jnp.int32)
+            # tile-local 2-min over columns + global column indices
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+            tb = jnp.min(dd, axis=1, keepdims=True)          # (TILE, 1)
+            is_min = dd == tb
+            tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
+                               keepdims=True)
+            dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
+            ts = jnp.min(dd2, axis=1, keepdims=True)
+            tidx = (tidx_loc + j * TILE).astype(jnp.int32)
 
-        # merge with the running 2-min (k=2 merge, columns 0 only)
-        rb = best_ref[:, 0:1]
-        rs = second_ref[:, 0:1]
-        ri = idx_ref[:, 0:1]
-        new_better = tb < rb
-        nb = jnp.where(new_better, tb, rb)
-        ni = jnp.where(new_better, tidx, ri)
-        # runner-up: min of (loser of the best comparison, both seconds)
-        loser = jnp.where(new_better, rb, tb)
-        ns = jnp.minimum(loser, jnp.minimum(rs, ts))
-        best_ref[:, 0:1] = nb
-        second_ref[:, 0:1] = ns
-        idx_ref[:, 0:1] = ni
+            # merge with the running 2-min (k=2 merge, columns 0 only)
+            rb = best_ref[:, 0:1]
+            rs = second_ref[:, 0:1]
+            ri = idx_ref[:, 0:1]
+            new_better = tb < rb
+            nb = jnp.where(new_better, tb, rb)
+            ni = jnp.where(new_better, tidx, ri)
+            # runner-up: min of (loser of the best comparison, both 2nds)
+            loser = jnp.where(new_better, rb, tb)
+            ns = jnp.minimum(loser, jnp.minimum(rs, ts))
+            best_ref[:, 0:1] = nb
+            second_ref[:, 0:1] = ns
+            idx_ref[:, 0:1] = ni
 
     return kernel
 
@@ -155,12 +187,19 @@ def fused_gated_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
     assert N1 % TILE == 0 and N2 % TILE == 0 and D % TILE == 0
 
     f32 = jnp.float32
+    # Invalid slots take far-apart x sentinels (query +1e6, target -1e6):
+    # the position gate then rejects them exactly like the validity gate
+    # does, AND tiles of padding become provably skippable by the kernel's
+    # bounding-box test (zeros would pin every padded tile's bbox to the
+    # image origin and defeat the skip).
+    qxs = jnp.where(q_valid, q_xy[:, 0].astype(f32), 1e6)
+    txs = jnp.where(t_valid, t_xy[:, 0].astype(f32), -1e6)
     qg = jnp.zeros((N1, TILE), f32)
-    qg = qg.at[:, 0].set(q_xy[:, 0].astype(f32))
+    qg = qg.at[:, 0].set(qxs)
     qg = qg.at[:, 1].set(q_xy[:, 1].astype(f32))
     qg = qg.at[:, 2].set(q_valid.astype(f32))
     tg = jnp.zeros((TILE, N2), f32)
-    tg = tg.at[0, :].set(t_xy[:, 0].astype(f32))
+    tg = tg.at[0, :].set(txs)
     tg = tg.at[1, :].set(t_xy[:, 1].astype(f32))
     tg = tg.at[2, :].set(t_valid.astype(f32))
     fblk = jnp.zeros((8, TILE), f32)
@@ -208,3 +247,223 @@ def fused_gated_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
     best = jnp.where(best >= _BIG, inf, best)
     second = jnp.where(second >= _BIG, inf, second)
     return best, second, idx
+
+
+def _make_sweep_kernel(use_epi: bool, sampson_thresh: float, radius: float,
+                       n2_tiles: int, sub: int = 8):
+    """1-D-grid variant: each program owns a 128-row block and sweeps all
+    column blocks in an in-kernel loop, testing each block's bounding box
+    first.  The per-block bounds are PRECOMPUTED on the XLA side into
+    SMEM tables (qbox/tbox), so a skipped block costs a few scalar ops —
+    in-kernel vector->scalar reductions measured ~1 ms of overhead across
+    the sweep."""
+
+    def kernel(qbox_ref, tbox_ref, qg_ref, tg_ref, qd_ref, td_ref, f_ref,
+               best_ref, second_ref, idx_ref, dd_ref):
+        i = pl.program_id(0)
+        best_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
+        second_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
+        idx_ref[:] = jnp.full((TILE, TILE), -1, jnp.int32)
+
+        qg = qg_ref[:]                    # (TILE, 128): cols x, y, valid
+        qx = qg[:, 0:1]
+        qy = qg[:, 1:2]
+        qv = qg[:, 2:3]
+        qx_min = qbox_ref[0, i]
+        qx_max = qbox_ref[1, i]
+        qy_min = qbox_ref[2, i]
+        qy_max = qbox_ref[3, i]
+        if use_epi:
+            f = f_ref[:]
+            fv = [f[0, k] for k in range(9)]
+
+        def jblock(jb):
+            dx_gap = jnp.maximum(tbox_ref[0, jb] - qx_max,
+                                 qx_min - tbox_ref[1, jb])
+            dy_gap = jnp.maximum(tbox_ref[2, jb] - qy_max,
+                                 qy_min - tbox_ref[3, jb])
+            live = (jnp.maximum(dx_gap, 0.0) + jnp.maximum(dy_gap, 0.0)
+                    < radius)
+
+            @pl.when(live)
+            def _compute():
+                tgb = tg_ref[:, pl.ds(jb * TILE, TILE)]   # (128, TILE)
+                tx = tgb[0:1, :]
+                ty = tgb[1:2, :]
+                tv = tgb[2:3, :]
+                pos = jnp.abs(qx - tx) + jnp.abs(qy - ty)
+                ok = (pos < radius) & (qv > 0.5) & (tv > 0.5)
+                if use_epi:
+                    f00, f01, f02, f10, f11, f12, f20, f21, f22 = fv
+                    a1 = f00 * qx + f01 * qy + f02
+                    a2 = f10 * qx + f11 * qy + f12
+                    a3 = f20 * qx + f21 * qy + f22
+                    b1 = f00 * tx + f10 * ty + f20
+                    b2 = f01 * tx + f11 * ty + f21
+                    num = (tx * a1 + ty * a2 + a3) ** 2
+                    den = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
+                    s = num / jnp.maximum(den, 1e-30)
+                    oke = ok & (s <= sampson_thresh) & (den > 1e-30)
+                else:
+                    oke = ok
+
+                bdesc = td_ref[pl.ds(jb * TILE, TILE), :]  # (TILE, D)
+
+                def body(k, _):
+                    a_chunk = qd_ref[pl.ds(k * sub, sub), :]
+                    diff = jnp.abs(a_chunk[:, None, :] - bdesc[None, :, :])
+                    dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
+                    return 0
+
+                jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
+
+                dd = jnp.where(oke, dd_ref[:], _BIG)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+                tb = jnp.min(dd, axis=1, keepdims=True)
+                is_min = dd == tb
+                tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
+                                   keepdims=True)
+                dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
+                ts = jnp.min(dd2, axis=1, keepdims=True)
+                tidx = (tidx_loc + jb * TILE).astype(jnp.int32)
+
+                rb = best_ref[:, 0:1]
+                rs = second_ref[:, 0:1]
+                ri = idx_ref[:, 0:1]
+                new_better = tb < rb
+                nb = jnp.where(new_better, tb, rb)
+                ni = jnp.where(new_better, tidx, ri)
+                loser = jnp.where(new_better, rb, tb)
+                ns = jnp.minimum(loser, jnp.minimum(rs, ts))
+                best_ref[:, 0:1] = nb
+                second_ref[:, 0:1] = ns
+                idx_ref[:, 0:1] = ni
+
+        # static unroll: static block slices compile to direct VMEM
+        # addressing; only the skip predicate is data-dependent
+        for jb in range(n2_tiles):
+            jblock(jb)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("use_epi", "sampson_thresh",
+                                             "radius", "interpret"))
+def fused_sweep_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
+                        use_epi: bool = False,
+                        sampson_thresh: float = 1.0,
+                        radius: float = 80.0, interpret: bool = False):
+    """fused_gated_two_min semantics via the 1-D-grid sweep kernel."""
+    N1, D = q_d.shape
+    N2 = t_d.shape[0]
+    assert N1 % TILE == 0 and N2 % TILE == 0 and D % TILE == 0
+
+    f32 = jnp.float32
+    qxs = jnp.where(q_valid, q_xy[:, 0].astype(f32), 1e6)
+    txs = jnp.where(t_valid, t_xy[:, 0].astype(f32), -1e6)
+    qg = jnp.zeros((N1, TILE), f32)
+    qg = qg.at[:, 0].set(qxs)
+    qg = qg.at[:, 1].set(q_xy[:, 1].astype(f32))
+    qg = qg.at[:, 2].set(q_valid.astype(f32))
+    tg = jnp.zeros((TILE, N2), f32)
+    tg = tg.at[0, :].set(txs)
+    tg = tg.at[1, :].set(t_xy[:, 1].astype(f32))
+    tg = tg.at[2, :].set(t_valid.astype(f32))
+    fblk = jnp.zeros((8, TILE), f32)
+    if F is not None:
+        fblk = fblk.at[0, :9].set(jnp.asarray(F, f32).reshape(9))
+
+    # per-block bounding boxes, precomputed where XLA reduces well:
+    # rows [x_min, x_max, y_min, y_max] per 128-slot block
+    def boxes(xs, ys, n):
+        xb = xs.reshape(n, TILE)
+        yb = ys.reshape(n, TILE)
+        return jnp.stack([jnp.min(xb, 1), jnp.max(xb, 1),
+                          jnp.min(yb, 1), jnp.max(yb, 1)])
+    qbox = boxes(qxs, q_xy[:, 1].astype(f32), N1 // TILE)    # (4, n1t)
+    tbox = boxes(txs, t_xy[:, 1].astype(f32), N2 // TILE)    # (4, n2t)
+
+    kernel = _make_sweep_kernel(use_epi, float(sampson_thresh),
+                                float(radius), N2 // TILE)
+    best, second, idx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((N1, TILE), f32),
+            jax.ShapeDtypeStruct((N1, TILE), f32),
+            jax.ShapeDtypeStruct((N1, TILE), jnp.int32),
+        ),
+        grid=(N1 // TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, N2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N2, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((TILE, TILE), f32)],
+        interpret=interpret,
+    )(qbox, tbox, qg, tg, q_d.astype(f32), t_d.astype(f32), fblk)
+
+    best = best[:, 0]
+    second = second[:, 0]
+    idx = jnp.where(best >= _BIG, -1, idx[:, 0])
+    inf = jnp.asarray(jnp.inf, f32)
+    best = jnp.where(best >= _BIG, inf, best)
+    second = jnp.where(second >= _BIG, inf, second)
+    return best, second, idx
+
+
+def sorted_fused_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
+                         use_epi: bool = False,
+                         sampson_thresh: float = 1.0,
+                         radius: float = 80.0, interpret: bool = False):
+    """fused_gated_two_min on x-SORTED slots, results mapped back.
+
+    Sorting both sides by x makes each 128-slot tile's x-range ~1/10 of
+    the image width, so the kernel's bounding-box test skips the ~85% of
+    tile pairs whose boxes sit further than the radius apart — the
+    position gate's sparsity turned into real compute savings (the dense
+    paths spend full FLOPs on 100% of the gated-out pairs).
+
+    Results are identical to the unsorted kernel except argmin
+    TIE-breaking: among equidistant candidates the lowest x-sorted (not
+    lowest slot-index) one wins.  Exact descriptor-distance ties between
+    distinct in-radius candidates are the only way to observe this.
+
+    Returns (best (N1,), second (N1,), idx (N1,) int32 into the ORIGINAL
+    target slots, -1 when gated out).
+    """
+    N1 = q_d.shape[0]
+    N2 = t_d.shape[0]
+    # invalid slots sort to the far ends (matching the kernel sentinels)
+    qkey = jnp.where(q_valid, q_xy[:, 0], 1e6)
+    tkey = jnp.where(t_valid, t_xy[:, 0], -1e6)
+    qperm = jnp.argsort(qkey)
+    tperm = jnp.argsort(tkey)
+    best, second, idx = fused_sweep_two_min(
+        q_xy[qperm], q_valid[qperm], q_d[qperm],
+        t_xy[tperm], t_valid[tperm], t_d[tperm],
+        F=F, use_epi=use_epi, sampson_thresh=sampson_thresh,
+        radius=radius, interpret=interpret)
+    inv_q = jnp.zeros((N1,), jnp.int32).at[qperm].set(
+        jnp.arange(N1, dtype=jnp.int32))
+    best = best[inv_q]
+    second = second[inv_q]
+    idx = idx[inv_q]
+    idx = jnp.where(idx >= 0, tperm[jnp.clip(idx, 0, N2 - 1)], -1)
+    return best, second, idx.astype(jnp.int32)
