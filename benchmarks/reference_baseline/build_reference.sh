@@ -1,0 +1,71 @@
+#!/bin/bash
+# Build the C++ reference (/root/reference) out-of-tree to measure a real
+# single-core CPU baseline (BASELINE.md "north-star (a)").  The image has
+# OpenCV 4.6 but no Boost/Eigen: `shim/` supplies minimal boost::format/
+# filesystem/optional/log stand-ins, Eigen comes from TensorFlow's vendored
+# headers, and a few mechanical patches adapt the OpenCV 2.x detector API
+# (detectImpl/computeImpl protected virtuals) to OpenCV 4's Feature2D.
+set -euo pipefail
+SRC=${1:-/root/reference}
+OUT=${2:-/tmp/refbuild}
+EIG=/opt/venv/lib/python3.12/site-packages/tensorflow/include
+HERE=$(cd "$(dirname "$0")" && pwd)
+
+rm -rf "$OUT"; mkdir -p "$OUT"
+cp -r "$SRC/src" "$OUT/src"
+cp -r "$HERE/shim" "$OUT/shim"
+
+python3 - "$OUT" <<'PY'
+import sys
+out = sys.argv[1]
+# OpenCV 4: FeatureDetector/DescriptorExtractor are Feature2D typedefs with
+# public detect/compute virtuals; rename the 2.x-era protected *Impl
+# overrides and make them public.
+p = f"{out}/src/viso.cpp"
+s = open(p).read()
+s = s.replace(
+    "detectImpl(cv::InputArray image, KeyPoints& kp, cv::InputArray mask=Mat()) const",
+    "detect(cv::InputArray image, KeyPoints& kp, cv::InputArray mask=cv::noArray()) CV_OVERRIDE")
+s = s.replace(
+    "void computeImpl(InputArray image, std::vector<KeyPoint>& kp, OutputArray d) const",
+    "public:\n    void compute(InputArray image, std::vector<KeyPoint>& kp, OutputArray d) CV_OVERRIDE")
+s = s.replace("""protected:
+
+    void
+    detect(cv::InputArray image""", """public:
+
+    void
+    detect(cv::InputArray image""")
+open(p, "w").write(s)
+
+p = f"{out}/src/viso.h"
+h = open(p).read()
+h = h.replace("#include <opencv2/nonfree/nonfree.hpp>\n", "")  # unused, absent in cv4
+h = h.replace("CV_LOAD_IMAGE_GRAYSCALE", "cv::IMREAD_GRAYSCALE")
+# timing parity with our bench: no debug JPEG dumps on the hot loop
+h = h.replace("save_debug(true)", "save_debug(false)")
+open(p, "w").write(h)
+
+p = f"{out}/src/kitti.cpp"
+s = open(p).read()
+# the boost::log file-sink setup is dead code (call commented out at :95);
+# stub the body so the shim needs no real boost::log
+i = s.index("init_log"); j = s.index("{", i); d = 0
+for k in range(j, len(s)):
+    d += s[k] == "{"; d -= s[k] == "}"
+    if d == 0: break
+s = s[:j] + "{ /* log sink not built in the baseline shim */ }" + s[k+1:]
+for line in ("namespace logging = boost::log;\n", "namespace src = boost::log::sources;\n",
+             "namespace sinks = boost::log::sinks;\n", "namespace keywords = boost::log::keywords;\n"):
+    s = s.replace(line, "")
+open(p, "w").write(s)
+print("patched")
+PY
+
+# -march=x86-64-v3: Eigen's AVX512-FP16 path miscompiles under -march=native here
+g++ -O3 -march=x86-64-v3 -std=c++17 -I"$OUT/shim" -I"$EIG" \
+    $(pkg-config --cflags opencv4) \
+    "$OUT"/src/viso.cpp "$OUT"/src/mvg.cpp "$OUT"/src/misc.cpp \
+    "$OUT"/src/estimation.cpp "$OUT"/src/kitti.cpp \
+    -o "$OUT/kitti" $(pkg-config --libs opencv4)
+echo "built $OUT/kitti"
