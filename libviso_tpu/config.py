@@ -80,6 +80,12 @@ class DetectorConfig:
     pyramid_levels: int = 1  # >1 enables multi-scale detection
     subpixel: bool = False   # quadratic subpixel corner refinement
 
+    def __post_init__(self):
+        if self.descriptor_gather not in ("onehot", "take"):
+            raise ValueError(
+                f"descriptor_gather must be 'onehot' or 'take', got "
+                f"{self.descriptor_gather!r}")
+
     @property
     def corners_per_bin(self) -> int:
         return self.max_features // (self.nbinx * self.nbiny)
@@ -176,6 +182,16 @@ class RansacConfig:
     converge_thresh: float = 1e-4
     min_inliers: int = 6
     model_size: int = 3
+
+    def __post_init__(self):
+        if self.hypothesis_method not in ("gn", "procrustes"):
+            raise ValueError(
+                f"hypothesis_method must be 'gn' or 'procrustes', got "
+                f"{self.hypothesis_method!r}")
+        if self.gn_unroll < 1:
+            raise ValueError(
+                f"gn_unroll must be >= 1 (got {self.gn_unroll}): 0 would "
+                "make the while_loop body the identity and hang the solve")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,19 +88,10 @@ def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
         ty = tg[1:2, :]
         tv = tg[2:3, :]
 
-        # Tile bounding boxes: when the minimal L1 position distance
-        # between the two tiles' boxes already exceeds the radius, every
-        # pair in the tile is gated out and the whole distance sweep can
-        # be skipped — EXACT, since the gate below would mask all of it.
-        # With x-sorted inputs (sorted_* wrappers) most tiles skip: the
-        # 80 px radius covers ~13% of a KITTI image width.
-        dx_gap = jnp.maximum(jnp.min(tx) - jnp.max(qx),
-                             jnp.min(qx) - jnp.max(tx))
-        dy_gap = jnp.maximum(jnp.min(ty) - jnp.max(qy),
-                             jnp.min(qy) - jnp.max(ty))
-        live = (jnp.maximum(dx_gap, 0.0) + jnp.maximum(dy_gap, 0.0)
-                < radius)
-
+        # (No per-tile bbox skip here: this dense-grid kernel is called on
+        # UNSORTED slots, whose tile boxes span the whole image — the
+        # in-kernel vector->scalar reductions would be pure overhead.
+        # The block-sparse path is _make_sweep_kernel + sorted wrapper.)
         pos = jnp.abs(qx - tx) + jnp.abs(qy - ty)
         ok = (pos < radius) & (qv > 0.5) & (tv > 0.5)
         if use_epi:
@@ -130,42 +121,40 @@ def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
             # point), instead of admitting s=0 through the clamp
             ok &= (s <= sampson_thresh) & (den > 1e-30)
 
-        @pl.when(live)
-        def _compute():
-            # gated L1 distance tile into VMEM scratch (sub-chunk form)
-            def body(k, _):
-                a_chunk = qd_ref[pl.ds(k * sub, sub), :]
-                diff = jnp.abs(a_chunk[:, None, :] - b[None, :, :])
-                dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
-                return 0
+        # gated L1 distance tile into VMEM scratch (proven sub-chunk form)
+        def body(k, _):
+            a_chunk = qd_ref[pl.ds(k * sub, sub), :]
+            diff = jnp.abs(a_chunk[:, None, :] - b[None, :, :])
+            dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
+            return 0
 
-            jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
+        jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
 
-            dd = jnp.where(ok, dd_ref[:], _BIG)
+        dd = jnp.where(ok, dd_ref[:], _BIG)
 
-            # tile-local 2-min over columns + global column indices
-            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-            tb = jnp.min(dd, axis=1, keepdims=True)          # (TILE, 1)
-            is_min = dd == tb
-            tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
-                               keepdims=True)
-            dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
-            ts = jnp.min(dd2, axis=1, keepdims=True)
-            tidx = (tidx_loc + j * TILE).astype(jnp.int32)
+        # tile-local 2-min over columns + global column indices
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        tb = jnp.min(dd, axis=1, keepdims=True)              # (TILE, 1)
+        is_min = dd == tb
+        tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
+                           keepdims=True)
+        dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
+        ts = jnp.min(dd2, axis=1, keepdims=True)
+        tidx = (tidx_loc + j * TILE).astype(jnp.int32)
 
-            # merge with the running 2-min (k=2 merge, columns 0 only)
-            rb = best_ref[:, 0:1]
-            rs = second_ref[:, 0:1]
-            ri = idx_ref[:, 0:1]
-            new_better = tb < rb
-            nb = jnp.where(new_better, tb, rb)
-            ni = jnp.where(new_better, tidx, ri)
-            # runner-up: min of (loser of the best comparison, both 2nds)
-            loser = jnp.where(new_better, rb, tb)
-            ns = jnp.minimum(loser, jnp.minimum(rs, ts))
-            best_ref[:, 0:1] = nb
-            second_ref[:, 0:1] = ns
-            idx_ref[:, 0:1] = ni
+        # merge with the running 2-min (k=2 merge, columns 0 only)
+        rb = best_ref[:, 0:1]
+        rs = second_ref[:, 0:1]
+        ri = idx_ref[:, 0:1]
+        new_better = tb < rb
+        nb = jnp.where(new_better, tb, rb)
+        ni = jnp.where(new_better, tidx, ri)
+        # runner-up: min of (loser of the best comparison, both seconds)
+        loser = jnp.where(new_better, rb, tb)
+        ns = jnp.minimum(loser, jnp.minimum(rs, ts))
+        best_ref[:, 0:1] = nb
+        second_ref[:, 0:1] = ns
+        idx_ref[:, 0:1] = ni
 
     return kernel
 

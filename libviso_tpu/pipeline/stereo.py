@@ -122,16 +122,10 @@ def build_frontend(cfg: PipelineConfig):
 
 def zero_feats(cfg: PipelineConfig, dtype=jnp.float32) -> Feats:
     """All-invalid Feats (pipeline bubble filler; running the back-end on
-    this is equivalent to running it on an empty first frame)."""
-    n = cfg.detector.num_slots
-    d = cfg.detector.descriptor_dim_padded
-    kp = Keypoints(
-        xy=jnp.zeros((n, 2), dtype),
-        response=jnp.zeros((n,), dtype),
-        valid=jnp.zeros((n,), bool),
-    )
-    return Feats(kp1=kp, d1=jnp.zeros((n, d), dtype),
-                 kp2=kp, d2=jnp.zeros((n, d), dtype))
+    this is equivalent to running it on an empty first frame).  Derived
+    from empty_state so the two all-invalid constructions cannot drift."""
+    s = empty_state(cfg, dtype)
+    return Feats(kp1=s.kp1, d1=s.d1, kp2=s.kp2, d2=s.d2)
 
 
 def build_backend(calib: Calib, F, cfg: PipelineConfig,
