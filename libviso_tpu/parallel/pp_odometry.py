@@ -1,34 +1,41 @@
 """Pipeline-parallel staged odometry (SURVEY.md P4).
 
 The reference computes each frame's whole step on one core
-(src/viso.cpp:1205-1321).  This module stages the per-frame step across a
-2-device ``('pipe',)`` mesh axis, GPipe-style:
+(src/viso.cpp:1205-1321).  This module stages the per-frame step across
+two devices:
 
-  stage 0 (front-end): Harris detection + Sobel-patch description for
-      frame t                                  (pipeline/stereo.py frontend)
-  stage 1 (back-end):  3x matching, circle filter, triangulation and
-      RANSAC+GN pose for frame t-1             (pipeline/stereo.py backend)
+  stage 0 (prepare): Harris detection + Sobel descriptors + all three
+      match problems + circle filter + triangulation for frame t — owns
+      the previous-frame FrameState locally
+      (pipeline/stereo.py frontend + build_prepare)
+  stage 1 (solve):   vmapped RANSAC+GN pose for frame t-1
+      (pipeline/stereo.py build_solve)
 
-expressed as ONE jit graph: a ``lax.scan`` over T+1 ticks inside a
-``shard_map`` over the ``pipe`` axis.  At tick k, device 0 extracts
-features of frame k while device 1 solves frame k-1 from the features it
-received last tick; the ``ppermute`` handoff of the (N, D) feature block
-rides ICI and overlaps with the next tick's compute.  Each device picks
-its stage with a ``lax.cond`` on ``axis_index`` — manual-mode SPMD with
-per-device control flow.
+The boundary is the SolveInput pytree (~46 KB/frame: gathered 3D points,
+observations, validity) rather than raw features (~1.4 MB) — the cheap
+seam.  With the MXU descriptor gather the two stages measure within ~20%
+of each other (docs/performance.md: detect+match ~2.3 ms vs solve
+~2.3 ms), so the steady-state cost is ~max(stage) ≈ half the serial
+frame, with 2 chips.
 
-Steady-state throughput is bounded by max(stage cost) instead of the sum
-(~2.8 ms detect vs ~4 ms solve per docs/performance.md), so PP buys ~1.6x
-latency on a live stream where chunked data parallelism
-(parallel/odometry.py) cannot apply because future frames do not exist
-yet.  For offline sequences DP scales better; this is the
-latency-optimized streaming layout.
+Two drivers:
 
-Trajectories are bit-identical to the serial streaming path
-(pipeline/stereo.py::run_stereo_sequence): the tick-0 bubble runs the
-back-end on all-invalid features, which reproduces exactly the empty
-first-frame state, and per-frame PRNG keys are the same
-``fold_in(key, t)``.
+  * run_pipelined_odometry — offline: one jit graph, a lax.scan over T+1
+    ticks inside shard_map over a ('pipe',) mesh axis; device 0 prepares
+    frame k while device 1 solves frame k-1, ppermute carrying the
+    SolveInput.  Each device picks its stage with lax.cond on axis_index
+    (manual-mode SPMD with per-device control flow).
+
+  * StreamPipeline — LIVE streams, where future frames do not exist yet
+    and chunked DP (parallel/odometry.py) cannot apply: a host-driven
+    loop with the prepare and solve jits dispatched asynchronously on two
+    devices; frame t's prepare overlaps frame t-1's solve.
+
+Both produce trajectories bit-identical to the serial streaming path
+(pipeline/stereo.py::run_stereo_sequence): per-frame PRNG keys are the
+same ``fold_in(key, t)``, the tick-0 bubble solves an all-invalid
+SolveInput (ok=False, dropped), and the prepare stage threads the exact
+serial FrameState.
 """
 
 from __future__ import annotations
@@ -42,10 +49,11 @@ from libviso_tpu.config import Calib, PipelineConfig
 from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
 from libviso_tpu.pipeline.stereo import (
     FrameOutput,
-    build_backend,
     build_frontend,
+    build_prepare,
+    build_solve,
     empty_state,
-    zero_feats,
+    zero_solve_input,
 )
 
 NUM_STAGES = 2
@@ -63,10 +71,11 @@ def build_pipelined_program(calib: Calib, F, cfg: PipelineConfig,
         raise ValueError(
             f"pipe axis must have {NUM_STAGES} devices "
             f"(got {mesh.shape['pipe']}): the VO step splits into "
-            "front-end and back-end stages")
+            "prepare and solve stages")
 
     frontend = build_frontend(cfg)
-    backend_fn = build_backend(calib, F, cfg, backend=backend)
+    prepare = build_prepare(calib, F, cfg, backend=backend)
+    solve = build_solve(calib, cfg)
 
     def program(ims1, ims2, key):
         T = ims1.shape[0]
@@ -80,34 +89,33 @@ def build_pipelined_program(calib: Calib, F, cfg: PipelineConfig,
                     tr=jnp.zeros((6,), dtype), ok=jnp.zeros((), bool),
                     num_circle=z, num_inliers=z, num_lr=z, num_kp1=z)
 
-            def stage0(feats_in, state, k):
-                # features of frame k (clamped past the end: those ticks'
-                # results never leave the bubble)
+            def stage0(si_in, state, k):
+                # prepare frame k (clamped past the end: those ticks'
+                # outputs never leave the bubble); the FrameState lives
+                # here and never crosses the wire
                 t = jnp.minimum(k, T - 1)
                 feats = frontend(
                     jax.lax.dynamic_index_in_dim(ims1, t, keepdims=False),
                     jax.lax.dynamic_index_in_dim(ims2, t, keepdims=False))
-                return feats, state, zero_out(feats.d1.dtype)
+                new_state, si = prepare(feats, state)
+                return si, new_state, zero_out(si.obs.dtype)
 
-            def stage1(feats_in, state, k):
-                # solve frame k-1 from the features received last tick;
-                # tick 0 runs on zero_feats, reproducing the empty-state
-                # first step bit-exactly (state leaves: all valid=False)
+            def stage1(si_in, state, k):
+                # solve frame k-1 from the SolveInput received last tick;
+                # tick 0 solves the all-invalid bubble (ok=False, dropped)
                 t = jnp.maximum(k - 1, 0)
-                new_state, out = backend_fn(feats_in, state,
-                                            jax.random.fold_in(key, t))
-                return feats_in, new_state, out
+                out = solve(si_in, jax.random.fold_in(key, t))
+                return si_in, state, out
 
             def tick(carry, k):
-                feats_in, state = carry
-                feats, state, out = jax.lax.cond(
-                    stage == 0, stage0, stage1, feats_in, state, k)
-                # hand stage 0's features to stage 1 for the next tick
-                feats_next = jax.lax.ppermute(
-                    feats, "pipe", perm=[(0, 1)])
-                return (feats_next, state), out
+                si_buf, state = carry
+                si, state, out = jax.lax.cond(
+                    stage == 0, stage0, stage1, si_buf, state, k)
+                # hand stage 0's SolveInput to stage 1 for the next tick
+                si_next = jax.lax.ppermute(si, "pipe", perm=[(0, 1)])
+                return (si_next, state), out
 
-            carry0 = (zero_feats(cfg), empty_state(cfg))
+            carry0 = (zero_solve_input(cfg), empty_state(cfg))
             _, outs = jax.lax.scan(tick, carry0,
                                    jnp.arange(T + 1, dtype=jnp.int32))
             # outs live on stage 1 (stage 0 rows are zeros) -> replicate
@@ -159,9 +167,80 @@ def run_pipelined_odometry(mesh: Mesh, P1, P2, frames_left, frames_right,
     key = jax.device_put(jax.random.PRNGKey(seed), replicated)
 
     outs = program(ims1, ims2, key)
+    return _assemble(outs)
+
+
+def _assemble(outs):
     motions = np.asarray(outs.tr)
     ok = np.array(outs.ok)
-    ok[0] = False  # reference skips the first frame (viso.cpp:1256)
+    if len(ok):
+        ok[0] = False  # reference skips the first frame (viso.cpp:1256)
     Ts = pose_vector_to_matrix(jnp.asarray(motions))
     poses = np.asarray(chain_motions(Ts, jnp.asarray(ok)))
     return poses, motions, ok
+
+
+class StreamPipeline:
+    """Live-stream pipeline parallelism: two async jits on two devices.
+
+    Frames are pushed one at a time (they need not exist in advance —
+    the case chunked DP cannot serve).  Each ``push(im1, im2)``
+    dispatches frame t's prepare on device 0 and frame t-1's solve on
+    device 1; JAX's async dispatch runs them concurrently, so the
+    steady-state latency per frame is ~max(stage) instead of their sum.
+    Outputs come back with one frame of pipeline latency and are
+    bit-identical to the serial path.
+
+    Usage::
+
+        sp = StreamPipeline(P1, P2, cfg, devices=jax.devices()[:2])
+        for im1, im2 in camera:
+            out = sp.push(im1, im2)    # FrameOutput of the PREVIOUS frame
+            ...
+        out_last = sp.flush()
+    """
+
+    def __init__(self, P1, P2, cfg: PipelineConfig = PipelineConfig(),
+                 devices=None, seed: int = 0, backend: str = "xla"):
+        from libviso_tpu.geometry.mvg import F_from_P_host
+
+        if devices is None:
+            devices = jax.devices()[:2]
+        if len(devices) < 2:
+            raise ValueError("StreamPipeline needs 2 devices")
+        self.d_prep, self.d_solve = devices[0], devices[1]
+        calib = Calib.from_projections(P1, P2)
+        F = F_from_P_host(P1, P2)
+        frontend = build_frontend(cfg)
+        prepare = build_prepare(calib, F, cfg, backend=backend)
+        self._prep = jax.jit(
+            lambda state, im1, im2: prepare(frontend(im1, im2), state))
+        self._solve = jax.jit(build_solve(calib, cfg))
+        self._state = jax.device_put(empty_state(cfg), self.d_prep)
+        self._key = jax.random.PRNGKey(seed)
+        self._pending = None   # SolveInput of the last prepared frame
+        self._t = 0
+
+    def push(self, im1, im2):
+        """Feed frame t; returns frame t-1's FrameOutput (None at t=0)."""
+        out = None
+        if self._pending is not None:
+            # dispatch the solve FIRST so it overlaps this frame's prepare
+            out = self._solve(self._pending,
+                              jax.random.fold_in(self._key, self._t - 1))
+        im1 = jax.device_put(jnp.asarray(im1), self.d_prep)
+        im2 = jax.device_put(jnp.asarray(im2), self.d_prep)
+        self._state, si = self._prep(self._state, im1, im2)
+        # ship the ~46 KB SolveInput to the solve device (async copy)
+        self._pending = jax.device_put(si, self.d_solve)
+        self._t += 1
+        return out
+
+    def flush(self):
+        """Solve the final in-flight frame (drains the pipeline)."""
+        if self._pending is None:
+            return None
+        out = self._solve(self._pending,
+                          jax.random.fold_in(self._key, self._t - 1))
+        self._pending = None
+        return out

@@ -128,18 +128,46 @@ def zero_feats(cfg: PipelineConfig, dtype=jnp.float32) -> Feats:
     return Feats(kp1=s.kp1, d1=s.d1, kp2=s.kp2, d2=s.d2)
 
 
-def build_backend(calib: Calib, F, cfg: PipelineConfig,
-                  backend: str = "xla", debug: bool = False):
-    """Build the per-frame BACK-END: matching through pose estimation.
+class SolveInput(NamedTuple):
+    """Everything the pose solve needs about one frame — the prepare/solve
+    seam, and the stage boundary of the rebalanced pipeline-parallel
+    layout (~46 KB/frame vs ~1.4 MB of raw Feats)."""
 
-    backend_fn(feats, state, key) -> (new_state, FrameOutput[, FrameDebug]).
-    Consumes the front-end's features for the CURRENT frame plus the
-    previous-frame state — the stage-1 half of the pipeline-parallel split
-    (SURVEY.md P4).
-    """
+    Xp: jax.Array          # (N, 3) previous-frame 3D per circle match
+    obs: jax.Array         # (N, 4) current observations (u_l,v_l,u_r,v_r)
+    pts_valid: jax.Array   # (N,) usable correspondences
+    circ_count: jax.Array  # () int32
+    num_lr: jax.Array      # () int32 (FrameOutput stats)
+    num_kp1: jax.Array     # () int32
+    circle: object         # CircleResult (debug writer; small int arrays)
+
+
+def zero_solve_input(cfg: PipelineConfig, dtype=jnp.float32) -> SolveInput:
+    """All-invalid SolveInput (pipeline bubble filler; solving it yields
+    ok=False exactly like an empty first frame)."""
+    from libviso_tpu.ops.circle import CircleResult
+
+    n = cfg.detector.num_slots
+    z = jnp.zeros((), jnp.int32)
+    neg = jnp.full((n,), -1, jnp.int32)
+    return SolveInput(
+        Xp=jnp.zeros((n, 3), dtype), obs=jnp.zeros((n, 4), dtype),
+        pts_valid=jnp.zeros((n,), bool), circ_count=z, num_lr=z,
+        num_kp1=z,
+        circle=CircleResult(valid=jnp.zeros((n,), bool), right=neg,
+                            left_prev=neg, right_prev=neg, count=z))
+
+
+def build_prepare(calib: Calib, F, cfg: PipelineConfig,
+                  backend: str = "xla"):
+    """Matching through correspondence gathering — all per-frame work
+    EXCEPT the RANSAC solve.  prepare(feats, state) -> (new_state,
+    SolveInput).  With the MXU descriptor gather, detect+prepare and the
+    solve cost within ~20% of each other — the balanced stage split for
+    pipeline parallelism (SURVEY.md P4)."""
     F = jnp.asarray(F)
 
-    def backend_fn(feats: Feats, state: FrameState, key):
+    def prepare(feats: Feats, state: FrameState):
         kp1, d1, kp2, d2 = feats.kp1, feats.d1, feats.kp2, feats.d2
 
         # All three match problems (LR epipolar-gated + both temporal,
@@ -158,36 +186,77 @@ def build_backend(calib: Calib, F, cfg: PipelineConfig,
         # Circular consistency (viso.cpp:1282).
         circ = circle_filter(mlr.idx, state.match_lr, m11.idx, m22.idx)
 
-        # Gather previous-frame 3D + current observations (viso.cpp:1292-1305).
+        # Gather previous-frame 3D + current observations
+        # (viso.cpp:1292-1305).
         lp_safe = jnp.clip(circ.left_prev, 0, cfg.detector.num_slots - 1)
         Xp = state.X[lp_safe]
         pts_valid = circ.valid & state.X_valid[lp_safe] & mlr.valid
-
-        rk, = jax.random.split(key, 1)
-        est = ransac_pose(rk, Xp, obs, pts_valid, calib, cfg.ransac)
-
-        ok = est.ok & (circ.count >= cfg.min_circle_matches)
-        tr = jnp.where(ok, est.tr, jnp.zeros_like(est.tr))
 
         new_state = FrameState(
             kp1=kp1, kp2=kp2, d1=d1, d2=d2,
             match_lr=mlr.idx, X=X, X_valid=mlr.valid,
         )
-        out = FrameOutput(
-            tr=tr, ok=ok,
-            num_circle=circ.count,
-            num_inliers=est.num_inliers,
+        si = SolveInput(
+            Xp=Xp, obs=obs, pts_valid=pts_valid, circ_count=circ.count,
             num_lr=jnp.sum(mlr.valid.astype(jnp.int32)),
             num_kp1=jnp.sum(kp1.valid.astype(jnp.int32)),
+            circle=circ)
+        return new_state, si
+
+    return prepare
+
+
+def build_solve(calib: Calib, cfg: PipelineConfig, debug: bool = False):
+    """The RANSAC+GN pose solve on a prepared frame.
+
+    solve(si, key) -> FrameOutput[, FrameDebug] — the stage-1 half of the
+    pipeline-parallel split."""
+
+    def solve(si: SolveInput, key):
+        rk, = jax.random.split(key, 1)
+        est = ransac_pose(rk, si.Xp, si.obs, si.pts_valid, calib,
+                          cfg.ransac)
+
+        ok = est.ok & (si.circ_count >= cfg.min_circle_matches)
+        tr = jnp.where(ok, est.tr, jnp.zeros_like(est.tr))
+
+        out = FrameOutput(
+            tr=tr, ok=ok,
+            num_circle=si.circ_count,
+            num_inliers=est.num_inliers,
+            num_lr=si.num_lr,
+            num_kp1=si.num_kp1,
         )
         if debug:
             from libviso_tpu.solvers.gauss_newton import stereo_predict
 
-            predict, _ = stereo_predict(est.tr, Xp, calib)
-            dbg = FrameDebug(circle=circ, inliers=est.inliers, obs=obs,
-                             predict=predict)
+            predict, _ = stereo_predict(est.tr, si.Xp, calib)
+            dbg = FrameDebug(circle=si.circle, inliers=est.inliers,
+                             obs=si.obs, predict=predict)
+            return out, dbg
+        return out
+
+    return solve
+
+
+def build_backend(calib: Calib, F, cfg: PipelineConfig,
+                  backend: str = "xla", debug: bool = False):
+    """Build the per-frame BACK-END: matching through pose estimation
+    (prepare ∘ solve).
+
+    backend_fn(feats, state, key) -> (new_state, FrameOutput[, FrameDebug]).
+    Consumes the front-end's features for the CURRENT frame plus the
+    previous-frame state.
+    """
+    prepare = build_prepare(calib, F, cfg, backend=backend)
+    solve = build_solve(calib, cfg, debug=debug)
+
+    def backend_fn(feats: Feats, state: FrameState, key):
+        new_state, si = prepare(feats, state)
+        if debug:
+            out, dbg = solve(si, key)
             return new_state, out, dbg
-        return new_state, out
+        return new_state, solve(si, key)
 
     return backend_fn
 

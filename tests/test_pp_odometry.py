@@ -59,3 +59,31 @@ def test_pipelined_rejects_wrong_axis_size():
         build_pipelined_program(
             Calib(f=700.0, cu=200.0, cv=80.0, base=0.5),
             np.eye(3), tiny_config(), mesh)
+
+
+def test_stream_pipeline_matches_serial_bitexact():
+    """Host-driven live-stream pipeline (prepare on dev0, solve on dev1,
+    async overlap) reproduces the serial trajectory bit-exactly."""
+    from libviso_tpu.parallel.pp_odometry import StreamPipeline
+
+    cfg = tiny_config()
+    seq = generate_sequence(num_frames=6, num_points=420, seed=3,
+                            width=416, height=160)
+    serial = run_stereo_sequence(list(seq.frames), seq.P1, seq.P2,
+                                 cfg=cfg, seed=0)
+
+    sp = StreamPipeline(seq.P1, seq.P2, cfg, devices=jax.devices()[:2],
+                        seed=0)
+    outs = []
+    for im1, im2 in seq.frames:
+        out = sp.push(im1, im2)
+        if out is not None:
+            outs.append(out)
+    outs.append(sp.flush())
+    assert len(outs) == len(seq.frames)
+
+    motions = np.stack([np.asarray(o.tr) for o in outs])
+    ok = np.array([bool(o.ok) for o in outs])
+    ok[0] = False
+    np.testing.assert_array_equal(ok, serial.frame_ok)
+    np.testing.assert_array_equal(motions[1:], serial.motions[1:])
