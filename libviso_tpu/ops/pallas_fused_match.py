@@ -64,6 +64,130 @@ TILE = 128
 _BIG = 3.0e38  # ~f32 max: "no candidate" sentinel (inf-safe arithmetic)
 
 
+def _init_running(best_ref, second_ref, idx_ref):
+    best_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
+    second_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
+    idx_ref[:] = jnp.full((TILE, TILE), -1, jnp.int32)
+
+
+def _tile_pass(qg, tgb, bdesc, qd_ref, f_ref, dd_ref,
+               best_ref, second_ref, idx_ref, col_base,
+               use_epi, sampson_thresh, radius, sub):
+    """One (TILE_q, TILE_t) tile: gates + L1 distance + 2-min merge into
+    the running (best, second, idx) refs.  Shared by the dense 2-D-grid
+    kernel and the block-sparse sweep kernel — the semantics both
+    advertise as bit-equal live in exactly one place.
+
+    Args:
+      qg: (TILE, 128) query gate block (cols [x, y, valid]).
+      tgb: (128, TILE) target gate block (rows [x, y, valid]).
+      bdesc: (TILE, D) target descriptor block.
+      col_base: global column index of this tile's first target slot.
+    """
+    # gates: (TILE_q, TILE_t)
+    qx = qg[:, 0:1]
+    qy = qg[:, 1:2]
+    qv = qg[:, 2:3]
+    tx = tgb[0:1, :]
+    ty = tgb[1:2, :]
+    tv = tgb[2:3, :]
+    pos = jnp.abs(qx - tx) + jnp.abs(qy - ty)
+    ok = (pos < radius) & (qv > 0.5) & (tv > 0.5)
+    if use_epi:
+        f = f_ref[:]                  # (8, 128), F at [0, :9]
+        f00, f01, f02 = f[0, 0], f[0, 1], f[0, 2]
+        f10, f11, f12 = f[0, 3], f[0, 4], f[0, 5]
+        f20, f21, f22 = f[0, 6], f[0, 7], f[0, 8]
+        # Sampson distance of (q -> x1, t -> x2): x2' F x1
+        # Fx1 rows evaluated at q (broadcast over columns):
+        a1 = f00 * qx + f01 * qy + f02   # (TILE, 1)
+        a2 = f10 * qx + f11 * qy + f12
+        a3 = f20 * qx + f21 * qy + f22
+        # F' x2 at t (broadcast over rows):
+        b1 = f00 * tx + f10 * ty + f20   # (1, TILE)
+        b2 = f01 * tx + f11 * ty + f21
+        num = (tx * a1 + ty * a2 + a3) ** 2
+        den = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
+        s = num / jnp.maximum(den, 1e-30)
+        # den == 0 gives 0/0 = NaN in the unfused path, which its
+        # isfinite() gate REJECTS — match that (degenerate F / null
+        # point), instead of admitting s=0 through the clamp
+        ok &= (s <= sampson_thresh) & (den > 1e-30)
+
+    # gated L1 distance tile into VMEM scratch (proven sub-chunk form)
+    def body(k, _):
+        a_chunk = qd_ref[pl.ds(k * sub, sub), :]
+        diff = jnp.abs(a_chunk[:, None, :] - bdesc[None, :, :])
+        dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
+
+    dd = jnp.where(ok, dd_ref[:], _BIG)
+
+    # tile-local 2-min over columns + global column indices
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    tb = jnp.min(dd, axis=1, keepdims=True)              # (TILE, 1)
+    is_min = dd == tb
+    tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
+                       keepdims=True)
+    dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
+    ts = jnp.min(dd2, axis=1, keepdims=True)
+    tidx = (tidx_loc + col_base).astype(jnp.int32)
+
+    # merge with the running 2-min (k=2 merge, columns 0 only)
+    rb = best_ref[:, 0:1]
+    rs = second_ref[:, 0:1]
+    ri = idx_ref[:, 0:1]
+    new_better = tb < rb
+    nb = jnp.where(new_better, tb, rb)
+    ni = jnp.where(new_better, tidx, ri)
+    # runner-up: min of (loser of the best comparison, both seconds)
+    loser = jnp.where(new_better, rb, tb)
+    ns = jnp.minimum(loser, jnp.minimum(rs, ts))
+    best_ref[:, 0:1] = nb
+    second_ref[:, 0:1] = ns
+    idx_ref[:, 0:1] = ni
+
+
+def _pack_inputs(q_xy, q_valid, t_xy, t_valid, F):
+    """Gate/F operand packing shared by both kernel wrappers.
+
+    Invalid slots take far-apart x sentinels (query +1e6, target -1e6):
+    the position gate then rejects them exactly like the validity gate
+    does, AND blocks of padding become provably skippable by the sweep
+    kernel's bounding-box test (zeros would pin every padded block's
+    bbox to the image origin and defeat the skip)."""
+    f32 = jnp.float32
+    N1 = q_xy.shape[0]
+    N2 = t_xy.shape[0]
+    qxs = jnp.where(q_valid, q_xy[:, 0].astype(f32), 1e6)
+    txs = jnp.where(t_valid, t_xy[:, 0].astype(f32), -1e6)
+    qg = jnp.zeros((N1, TILE), f32)
+    qg = qg.at[:, 0].set(qxs)
+    qg = qg.at[:, 1].set(q_xy[:, 1].astype(f32))
+    qg = qg.at[:, 2].set(q_valid.astype(f32))
+    tg = jnp.zeros((TILE, N2), f32)
+    tg = tg.at[0, :].set(txs)
+    tg = tg.at[1, :].set(t_xy[:, 1].astype(f32))
+    tg = tg.at[2, :].set(t_valid.astype(f32))
+    fblk = jnp.zeros((8, TILE), f32)
+    if F is not None:
+        fblk = fblk.at[0, :9].set(jnp.asarray(F, f32).reshape(9))
+    return qxs, txs, qg, tg, fblk
+
+
+def _unpack_outputs(best, second, idx):
+    """_BIG -> inf / -1 result unpacking shared by both wrappers."""
+    best = best[:, 0]
+    second = second[:, 0]
+    idx = jnp.where(best >= _BIG, -1, idx[:, 0])
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    best = jnp.where(best >= _BIG, inf, best)
+    second = jnp.where(second >= _BIG, inf, second)
+    return best, second, idx
+
+
 def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
                  sub: int = 8):
     def kernel(qg_ref, tg_ref, qd_ref, td_ref, f_ref,
@@ -72,89 +196,15 @@ def _make_kernel(use_epi: bool, sampson_thresh: float, radius: float,
 
         @pl.when(j == 0)
         def _init():
-            best_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
-            second_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
-            idx_ref[:] = jnp.full((TILE, TILE), -1, jnp.int32)
-
-        b = td_ref[:]                     # (TILE, D) target descriptors
-        qg = qg_ref[:]                    # (TILE, 128): cols x, y, valid
-        tg = tg_ref[:]                    # (128, TILE): rows x, y, valid
-
-        # gates: (TILE_q, TILE_t)
-        qx = qg[:, 0:1]
-        qy = qg[:, 1:2]
-        qv = qg[:, 2:3]
-        tx = tg[0:1, :]
-        ty = tg[1:2, :]
-        tv = tg[2:3, :]
+            _init_running(best_ref, second_ref, idx_ref)
 
         # (No per-tile bbox skip here: this dense-grid kernel is called on
         # UNSORTED slots, whose tile boxes span the whole image — the
         # in-kernel vector->scalar reductions would be pure overhead.
         # The block-sparse path is _make_sweep_kernel + sorted wrapper.)
-        pos = jnp.abs(qx - tx) + jnp.abs(qy - ty)
-        ok = (pos < radius) & (qv > 0.5) & (tv > 0.5)
-        if use_epi:
-            f = f_ref[:]                  # (8, 128), F at [0, :9]
-            f00 = f[0, 0]
-            f01 = f[0, 1]
-            f02 = f[0, 2]
-            f10 = f[0, 3]
-            f11 = f[0, 4]
-            f12 = f[0, 5]
-            f20 = f[0, 6]
-            f21 = f[0, 7]
-            f22 = f[0, 8]
-            # Sampson distance of (q -> x1, t -> x2): x2' F x1
-            # Fx1 rows evaluated at q (broadcast over columns):
-            a1 = f00 * qx + f01 * qy + f02   # (TILE, 1)
-            a2 = f10 * qx + f11 * qy + f12
-            a3 = f20 * qx + f21 * qy + f22
-            # F' x2 at t (broadcast over rows):
-            b1 = f00 * tx + f10 * ty + f20   # (1, TILE)
-            b2 = f01 * tx + f11 * ty + f21
-            num = (tx * a1 + ty * a2 + a3) ** 2
-            den = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
-            s = num / jnp.maximum(den, 1e-30)
-            # den == 0 gives 0/0 = NaN in the unfused path, which its
-            # isfinite() gate REJECTS — match that (degenerate F / null
-            # point), instead of admitting s=0 through the clamp
-            ok &= (s <= sampson_thresh) & (den > 1e-30)
-
-        # gated L1 distance tile into VMEM scratch (proven sub-chunk form)
-        def body(k, _):
-            a_chunk = qd_ref[pl.ds(k * sub, sub), :]
-            diff = jnp.abs(a_chunk[:, None, :] - b[None, :, :])
-            dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
-            return 0
-
-        jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
-
-        dd = jnp.where(ok, dd_ref[:], _BIG)
-
-        # tile-local 2-min over columns + global column indices
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-        tb = jnp.min(dd, axis=1, keepdims=True)              # (TILE, 1)
-        is_min = dd == tb
-        tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
-                           keepdims=True)
-        dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
-        ts = jnp.min(dd2, axis=1, keepdims=True)
-        tidx = (tidx_loc + j * TILE).astype(jnp.int32)
-
-        # merge with the running 2-min (k=2 merge, columns 0 only)
-        rb = best_ref[:, 0:1]
-        rs = second_ref[:, 0:1]
-        ri = idx_ref[:, 0:1]
-        new_better = tb < rb
-        nb = jnp.where(new_better, tb, rb)
-        ni = jnp.where(new_better, tidx, ri)
-        # runner-up: min of (loser of the best comparison, both seconds)
-        loser = jnp.where(new_better, rb, tb)
-        ns = jnp.minimum(loser, jnp.minimum(rs, ts))
-        best_ref[:, 0:1] = nb
-        second_ref[:, 0:1] = ns
-        idx_ref[:, 0:1] = ni
+        _tile_pass(qg_ref[:], tg_ref[:], td_ref[:], qd_ref, f_ref, dd_ref,
+                   best_ref, second_ref, idx_ref, j * TILE,
+                   use_epi, sampson_thresh, radius, sub)
 
     return kernel
 
@@ -176,24 +226,7 @@ def fused_gated_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
     assert N1 % TILE == 0 and N2 % TILE == 0 and D % TILE == 0
 
     f32 = jnp.float32
-    # Invalid slots take far-apart x sentinels (query +1e6, target -1e6):
-    # the position gate then rejects them exactly like the validity gate
-    # does, AND tiles of padding become provably skippable by the kernel's
-    # bounding-box test (zeros would pin every padded tile's bbox to the
-    # image origin and defeat the skip).
-    qxs = jnp.where(q_valid, q_xy[:, 0].astype(f32), 1e6)
-    txs = jnp.where(t_valid, t_xy[:, 0].astype(f32), -1e6)
-    qg = jnp.zeros((N1, TILE), f32)
-    qg = qg.at[:, 0].set(qxs)
-    qg = qg.at[:, 1].set(q_xy[:, 1].astype(f32))
-    qg = qg.at[:, 2].set(q_valid.astype(f32))
-    tg = jnp.zeros((TILE, N2), f32)
-    tg = tg.at[0, :].set(txs)
-    tg = tg.at[1, :].set(t_xy[:, 1].astype(f32))
-    tg = tg.at[2, :].set(t_valid.astype(f32))
-    fblk = jnp.zeros((8, TILE), f32)
-    if F is not None:
-        fblk = fblk.at[0, :9].set(jnp.asarray(F, f32).reshape(9))
+    _, _, qg, tg, fblk = _pack_inputs(q_xy, q_valid, t_xy, t_valid, F)
 
     grid = (N1 // TILE, N2 // TILE)
     kernel = _make_kernel(use_epi, float(sampson_thresh), float(radius))
@@ -229,13 +262,7 @@ def fused_gated_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
         interpret=interpret,
     )(qg, tg, q_d.astype(f32), t_d.astype(f32), fblk)
 
-    best = best[:, 0]
-    second = second[:, 0]
-    idx = jnp.where(best >= _BIG, -1, idx[:, 0])
-    inf = jnp.asarray(jnp.inf, f32)
-    best = jnp.where(best >= _BIG, inf, best)
-    second = jnp.where(second >= _BIG, inf, second)
-    return best, second, idx
+    return _unpack_outputs(best, second, idx)
 
 
 def _make_sweep_kernel(use_epi: bool, sampson_thresh: float, radius: float,
@@ -250,21 +277,13 @@ def _make_sweep_kernel(use_epi: bool, sampson_thresh: float, radius: float,
     def kernel(qbox_ref, tbox_ref, qg_ref, tg_ref, qd_ref, td_ref, f_ref,
                best_ref, second_ref, idx_ref, dd_ref):
         i = pl.program_id(0)
-        best_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
-        second_ref[:] = jnp.full((TILE, TILE), _BIG, jnp.float32)
-        idx_ref[:] = jnp.full((TILE, TILE), -1, jnp.int32)
+        _init_running(best_ref, second_ref, idx_ref)
 
         qg = qg_ref[:]                    # (TILE, 128): cols x, y, valid
-        qx = qg[:, 0:1]
-        qy = qg[:, 1:2]
-        qv = qg[:, 2:3]
         qx_min = qbox_ref[0, i]
         qx_max = qbox_ref[1, i]
         qy_min = qbox_ref[2, i]
         qy_max = qbox_ref[3, i]
-        if use_epi:
-            f = f_ref[:]
-            fv = [f[0, k] for k in range(9)]
 
         def jblock(jb):
             dx_gap = jnp.maximum(tbox_ref[0, jb] - qx_max,
@@ -276,57 +295,11 @@ def _make_sweep_kernel(use_epi: bool, sampson_thresh: float, radius: float,
 
             @pl.when(live)
             def _compute():
-                tgb = tg_ref[:, pl.ds(jb * TILE, TILE)]   # (128, TILE)
-                tx = tgb[0:1, :]
-                ty = tgb[1:2, :]
-                tv = tgb[2:3, :]
-                pos = jnp.abs(qx - tx) + jnp.abs(qy - ty)
-                ok = (pos < radius) & (qv > 0.5) & (tv > 0.5)
-                if use_epi:
-                    f00, f01, f02, f10, f11, f12, f20, f21, f22 = fv
-                    a1 = f00 * qx + f01 * qy + f02
-                    a2 = f10 * qx + f11 * qy + f12
-                    a3 = f20 * qx + f21 * qy + f22
-                    b1 = f00 * tx + f10 * ty + f20
-                    b2 = f01 * tx + f11 * ty + f21
-                    num = (tx * a1 + ty * a2 + a3) ** 2
-                    den = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
-                    s = num / jnp.maximum(den, 1e-30)
-                    oke = ok & (s <= sampson_thresh) & (den > 1e-30)
-                else:
-                    oke = ok
-
-                bdesc = td_ref[pl.ds(jb * TILE, TILE), :]  # (TILE, D)
-
-                def body(k, _):
-                    a_chunk = qd_ref[pl.ds(k * sub, sub), :]
-                    diff = jnp.abs(a_chunk[:, None, :] - bdesc[None, :, :])
-                    dd_ref[pl.ds(k * sub, sub), :] = jnp.sum(diff, axis=-1)
-                    return 0
-
-                jax.lax.fori_loop(0, TILE // sub, body, 0, unroll=True)
-
-                dd = jnp.where(oke, dd_ref[:], _BIG)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-                tb = jnp.min(dd, axis=1, keepdims=True)
-                is_min = dd == tb
-                tidx_loc = jnp.min(jnp.where(is_min, lane, TILE), axis=1,
-                                   keepdims=True)
-                dd2 = jnp.where(lane == tidx_loc, _BIG, dd)
-                ts = jnp.min(dd2, axis=1, keepdims=True)
-                tidx = (tidx_loc + jb * TILE).astype(jnp.int32)
-
-                rb = best_ref[:, 0:1]
-                rs = second_ref[:, 0:1]
-                ri = idx_ref[:, 0:1]
-                new_better = tb < rb
-                nb = jnp.where(new_better, tb, rb)
-                ni = jnp.where(new_better, tidx, ri)
-                loser = jnp.where(new_better, rb, tb)
-                ns = jnp.minimum(loser, jnp.minimum(rs, ts))
-                best_ref[:, 0:1] = nb
-                second_ref[:, 0:1] = ns
-                idx_ref[:, 0:1] = ni
+                _tile_pass(qg, tg_ref[:, pl.ds(jb * TILE, TILE)],
+                           td_ref[pl.ds(jb * TILE, TILE), :],
+                           qd_ref, f_ref, dd_ref,
+                           best_ref, second_ref, idx_ref, jb * TILE,
+                           use_epi, sampson_thresh, radius, sub)
 
         # static unroll: static block slices compile to direct VMEM
         # addressing; only the skip predicate is data-dependent
@@ -348,19 +321,7 @@ def fused_sweep_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
     assert N1 % TILE == 0 and N2 % TILE == 0 and D % TILE == 0
 
     f32 = jnp.float32
-    qxs = jnp.where(q_valid, q_xy[:, 0].astype(f32), 1e6)
-    txs = jnp.where(t_valid, t_xy[:, 0].astype(f32), -1e6)
-    qg = jnp.zeros((N1, TILE), f32)
-    qg = qg.at[:, 0].set(qxs)
-    qg = qg.at[:, 1].set(q_xy[:, 1].astype(f32))
-    qg = qg.at[:, 2].set(q_valid.astype(f32))
-    tg = jnp.zeros((TILE, N2), f32)
-    tg = tg.at[0, :].set(txs)
-    tg = tg.at[1, :].set(t_xy[:, 1].astype(f32))
-    tg = tg.at[2, :].set(t_valid.astype(f32))
-    fblk = jnp.zeros((8, TILE), f32)
-    if F is not None:
-        fblk = fblk.at[0, :9].set(jnp.asarray(F, f32).reshape(9))
+    qxs, txs, qg, tg, fblk = _pack_inputs(q_xy, q_valid, t_xy, t_valid, F)
 
     # per-block bounding boxes, precomputed where XLA reduces well:
     # rows [x_min, x_max, y_min, y_max] per 128-slot block
@@ -408,13 +369,7 @@ def fused_sweep_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
         interpret=interpret,
     )(qbox, tbox, qg, tg, q_d.astype(f32), t_d.astype(f32), fblk)
 
-    best = best[:, 0]
-    second = second[:, 0]
-    idx = jnp.where(best >= _BIG, -1, idx[:, 0])
-    inf = jnp.asarray(jnp.inf, f32)
-    best = jnp.where(best >= _BIG, inf, best)
-    second = jnp.where(second >= _BIG, inf, second)
-    return best, second, idx
+    return _unpack_outputs(best, second, idx)
 
 
 def sorted_fused_two_min(q_xy, q_valid, q_d, t_xy, t_valid, t_d, F=None,
