@@ -26,6 +26,31 @@ import time
 import numpy as np
 
 
+def _add_cfg_flags(parser):
+    """Pipeline-tuning flags shared by the kitti and synth subcommands."""
+    parser.add_argument(
+        "--metric", default="l1", choices=["l1", "l2"],
+        help="descriptor distance: l1 = reference parity (NORM_L1, "
+             "src/viso.cpp:989); l2 rides the MXU ~100x cheaper with "
+             "near-identical matches (docs/performance.md)")
+    parser.add_argument(
+        "--hyp", default="gn", choices=["gn", "procrustes"],
+        help="RANSAC hypothesis estimator: gn = reference parity; "
+             "procrustes = closed-form Kabsch init + short polish")
+
+
+def _apply_cfg_flags(cfg, args):
+    import dataclasses
+
+    if getattr(args, "metric", "l1") != "l1":
+        cfg = cfg.with_metric(args.metric)
+    if getattr(args, "hyp", "gn") != "gn":
+        cfg = dataclasses.replace(
+            cfg, ransac=dataclasses.replace(cfg.ransac,
+                                            hypothesis_method=args.hyp))
+    return cfg
+
+
 def _cmd_kitti(args):
     from libviso_tpu.parallel.distributed import initialize_from_env
 
@@ -67,7 +92,7 @@ def _cmd_kitti(args):
                               args.result_sha)
     os.makedirs(result_dir, exist_ok=True)
 
-    cfg = PipelineConfig()
+    cfg = _apply_cfg_flags(PipelineConfig(), args)
     extra = {}
     t0 = time.perf_counter()
     if args.ba_window > 0:
@@ -140,8 +165,9 @@ def _cmd_synth(args):
     from libviso_tpu.utils.metrics import ate_rmse, rpe_errors
 
     seq = generate_sequence(num_frames=args.frames, seed=args.seed)
+    cfg = _apply_cfg_flags(PipelineConfig(), args)
     t0 = time.perf_counter()
-    res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, PipelineConfig(),
+    res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg,
                               seed=args.seed, backend=args.backend)
     dt = time.perf_counter() - t0
     terr, rerr = rpe_errors(res.poses, seq.gt_poses)
@@ -252,12 +278,14 @@ def main(argv=None):
     k.add_argument("--save-debug", action="store_true",
                    help="write per-frame debug artifacts under "
                         "results/.../dbg (reference param.save_debug)")
+    _add_cfg_flags(k)
     k.set_defaults(fn=_cmd_kitti)
 
     s = sub.add_parser("synth", help="synthetic-sequence smoke run")
     s.add_argument("--frames", type=int, default=20)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    _add_cfg_flags(s)
     s.set_defaults(fn=_cmd_synth)
 
     m = sub.add_parser("mono", help="monocular SfM (calib_sfm.cpp analog)")
