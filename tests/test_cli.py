@@ -80,3 +80,22 @@ def test_eval_plot(tmp_path, capsys):
     assert out["plot"] == plot
     import os
     assert os.path.getsize(plot) > 500
+
+
+def test_cfg_flags_apply():
+    """--metric/--hyp flags map onto the pipeline config."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    cli._add_cfg_flags(p)
+    from libviso_tpu.config import PipelineConfig
+
+    args = p.parse_args(["--metric", "l2", "--hyp", "procrustes"])
+    cfg = cli._apply_cfg_flags(PipelineConfig(), args)
+    assert cfg.stereo_match.metric == "l2"
+    assert cfg.temporal_match.metric == "l2"
+    assert cfg.ransac.hypothesis_method == "procrustes"
+
+    args = p.parse_args([])
+    cfg = cli._apply_cfg_flags(PipelineConfig(), args)
+    assert cfg == PipelineConfig()
