@@ -31,6 +31,30 @@ from libviso_tpu.pipeline.refine import (
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_fns(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
+                backend: str, ba_iters: int):
+    """jit the three per-window programs ONCE per configuration.
+
+    run_windowed_ba may be called repeatedly (multi-sequence runs, tests);
+    fresh jax.jit closures per call would recompile the full front-end
+    every time (~20 s on the tunneled chip)."""
+    F = np.frombuffer(f_bytes, np.float64).reshape(3, 3)
+    n_slots = cfg.detector.num_slots
+    fn = jax.jit(build_batched_odometry(calib, F, cfg, backend=backend,
+                                        with_tracks=True))
+    refine = jax.jit(lambda prob: refine_window_motions(prob, calib,
+                                                        iters=ba_iters))
+    build = jax.jit(lambda tr, motions: build_window_problem(
+        tr.kp1_xy, tr.kp2_xy, tr.mlr_idx, tr.mlr_valid,
+        tr.m11_idx, tr.m11_valid, tr.X, motions, n_slots,
+        circ_valid=tr.circ_valid))
+    return fn, build, refine
+
+
 @dataclasses.dataclass
 class WindowedResult:
     poses: np.ndarray       # (T, 4, 4) BA-refined trajectory
@@ -61,16 +85,17 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
     T = len(frames)
     calib = Calib.from_projections(P1, P2)
     F = F_from_P_host(P1, P2)
-    n_slots = cfg.detector.num_slots
+    fn, build, refine = _jitted_fns(
+        calib, np.ascontiguousarray(F, np.float64).tobytes(), cfg,
+        backend, ba_iters)
 
-    fn = jax.jit(build_batched_odometry(calib, F, cfg, backend=backend,
-                                        with_tracks=True))
-    refine = jax.jit(lambda prob: refine_window_motions(prob, calib,
-                                                        iters=ba_iters))
-    build = jax.jit(lambda tr, motions: build_window_problem(
-        tr.kp1_xy, tr.kp2_xy, tr.mlr_idx, tr.mlr_valid,
-        tr.m11_idx, tr.m11_valid, tr.X, motions, n_slots,
-        circ_valid=tr.circ_valid))
+    # Ship every frame to the device ONCE (uint8 stays uint8 — 4x less
+    # tunnel/DMA traffic; the detector casts on-device).  Overlapping
+    # windows then stack device-resident frames instead of re-uploading
+    # the (window - stride)-frame overlap each time — upload was ~70% of
+    # the steady per-window cost on the development tunnel.
+    dev_l = [jax.device_put(jnp.asarray(np.asarray(f[0]))) for f in frames]
+    dev_r = [jax.device_put(jnp.asarray(np.asarray(f[1]))) for f in frames]
 
     key = jax.random.PRNGKey(seed)
     motions = np.zeros((T, 6), np.float32)
@@ -130,8 +155,8 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         if w < w0:  # restored from checkpoint
             continue
         e = min(s + window, T)
-        ims1 = jnp.asarray(np.stack([np.asarray(f[0]) for f in frames[s:e]]))
-        ims2 = jnp.asarray(np.stack([np.asarray(f[1]) for f in frames[s:e]]))
+        ims1 = jnp.stack(dev_l[s:e])   # device-side stack: no re-upload
+        ims2 = jnp.stack(dev_r[s:e])
         out, tracks = fn(ims1, ims2, jax.random.fold_in(key, w))
         prob = build(tracks, out.motions)
         refined, c0, c1, ok_ba = refine(prob)
