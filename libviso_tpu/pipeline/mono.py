@@ -18,6 +18,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterable, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -143,6 +145,15 @@ class MonoResult:
     stats: list
 
 
+
+@functools.lru_cache(maxsize=8)
+def _jitted_mono_step(k_bytes: bytes, cfg, backend: str, method: str, D):
+    """One jitted mono step per configuration (repeat calls skip the
+    recompile; see stereo.py::_jitted_step)."""
+    K = np.frombuffer(k_bytes, np.float64).reshape(3, 3)
+    return jax.jit(build_mono_step(K, cfg, backend=backend, method=method,
+                                   D=D))
+
 def run_mono_sequence(frames: Iterable, K,
                       cfg: PipelineConfig = None,
                       seed: int = 0, backend: str = "xla",
@@ -154,8 +165,9 @@ def run_mono_sequence(frames: Iterable, K,
     """
     if cfg is None:
         cfg = PipelineConfig.mono()
-    step = jax.jit(build_mono_step(K, cfg, backend=backend, method=method,
-                                   D=D))
+    step = _jitted_mono_step(
+        np.ascontiguousarray(K, np.float64).tobytes(), cfg, backend,
+        method, None if D is None else tuple(float(d) for d in D))
     key = jax.random.PRNGKey(seed)
 
     state = empty_mono_state(cfg)

@@ -287,6 +287,20 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
     return step
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_step(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
+                 backend: str, debug: bool):
+    """One jitted frame step per configuration: repeated driver calls
+    (multi-sequence runs, tests) reuse the compiled program instead of
+    paying the ~20 s front-end compile again."""
+    F = np.frombuffer(f_bytes, np.float64).reshape(3, 3)
+    return jax.jit(build_frame_step(calib, F, cfg, backend=backend,
+                                    debug=debug))
+
+
 @dataclasses.dataclass
 class SequenceResult:
     poses: np.ndarray        # (T, 4, 4) cumulative poses (frame 0 = I)
@@ -329,8 +343,8 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
     calib = Calib.from_projections(P1, P2)
     F = F_from_P_host(P1, P2)
     debug = dbg_dir is not None
-    step = jax.jit(build_frame_step(calib, F, cfg, backend=backend,
-                                    debug=debug))
+    step = _jitted_step(calib, np.ascontiguousarray(F).tobytes(), cfg,
+                        backend, debug)
     key = jax.random.PRNGKey(seed)
     dumper = DebugDumper(dbg_dir)
 
