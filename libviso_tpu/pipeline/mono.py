@@ -171,10 +171,16 @@ def run_mono_sequence(frames: Iterable, K,
     key = jax.random.PRNGKey(seed)
 
     state = empty_mono_state(cfg)
-    pose = np.eye(4)
-    poses, oks, stats = [], [], []
+    # collect device outputs as futures; materializing per frame would
+    # cost a host round-trip each step and serialize the dispatch pipeline
+    outs = []
     for t, im in enumerate(frames):
         state, out = step(state, jnp.asarray(im), jax.random.fold_in(key, t))
+        outs.append(out)
+
+    pose = np.eye(4)
+    poses, oks, stats = [], [], []
+    for t, out in enumerate(outs):
         ok = bool(out.ok) and t > 0
         if ok:
             pose = pose @ np.asarray(out.transform)

@@ -394,6 +394,28 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
         frames = frames.skipped(t0)
         start = t0
     prev_host = None
+
+    # Device outputs accumulate as futures and materialize lazily (at
+    # checkpoints and at the end): reading out.ok inside the loop would
+    # force a full host<->device round-trip per frame and serialize the
+    # async dispatch pipeline that streaming throughput depends on.
+    pending = []
+
+    def _flush():
+        for ft, out in pending:
+            ok = bool(out.ok) and ft != 0  # reference skips frame 0
+            motions.append(np.asarray(out.tr))
+            oks.append(ok)
+            stats.append({
+                "frame": ft,
+                "ok": ok,
+                "num_kp1": int(out.num_kp1),
+                "num_lr": int(out.num_lr),
+                "num_circle": int(out.num_circle),
+                "num_inliers": int(out.num_inliers),
+            })
+        pending.clear()
+
     for t, (im1, im2) in enumerate(frames, start=start):
         if t < t0:  # already covered by the restored checkpoint
             continue
@@ -418,23 +440,14 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
             prev_host = (np.asarray(im1), np.asarray(im2))
         else:
             state, out = step(state, im1, im2, jax.random.fold_in(key, t))
-        first = t == 0  # reference skips the first frame (viso.cpp:1256)
-        ok = bool(out.ok) and not first
-        motions.append(np.asarray(out.tr))
-        oks.append(ok)
-        stats.append({
-            "frame": t,
-            "ok": ok,
-            "num_kp1": int(out.num_kp1),
-            "num_lr": int(out.num_lr),
-            "num_circle": int(out.num_circle),
-            "num_inliers": int(out.num_inliers),
-        })
+        pending.append((t, out))
         if on_frame is not None:
             on_frame(t, out)
         if checkpoint is not None and (t + 1) % checkpoint.every == 0:
+            _flush()
             _snapshot(t + 1)
 
+    _flush()
     if checkpoint is not None and motions:
         _snapshot(len(motions))  # final snapshot so a rerun is a no-op
 
