@@ -292,3 +292,47 @@ def profile_frame_step(cfg=None, reps: int = 5, chain: int = 32,
         make_args=lambda i: (jnp.float32(i) * 1e-3,))
     st.seconds /= chain
     return st
+
+
+def profile_mono_step(cfg=None, method: str = "5pt", reps: int = 5,
+                      chain: int = 16, seed: int = 0) -> KernelStats:
+    """Chained timing of the FULL monocular frame step (detect through
+    essential-matrix RANSAC + pose recovery), RPC-amortized like
+    profile_frame_step."""
+    import jax.numpy as jnp
+
+    from libviso_tpu.config import PipelineConfig
+    from libviso_tpu.pipeline.mono import build_mono_step, empty_mono_state
+    from libviso_tpu.synthetic import generate_sequence
+
+    cfg = cfg or PipelineConfig.mono()
+    seq = generate_sequence(num_frames=8, num_points=900, seed=seed,
+                            width=1241, height=376, f=718.856,
+                            base=0.5371657, speed=0.8)
+    K = np.array([[718.856, 0.0, 607.19], [0.0, 718.856, 185.22],
+                  [0.0, 0.0, 1.0]])
+    frames = jnp.asarray(np.stack(
+        [f[0] for f in seq.frames]).astype(np.float32))
+    key = jax.random.PRNGKey(seed)
+    step = build_mono_step(K, cfg, method=method)
+
+    def fn(c0):
+        st0 = empty_mono_state(cfg)
+
+        def body(carry, i):
+            st, c = carry
+            f = frames[i % frames.shape[0]]
+            st, out = step(st, f * (1.0 + c), jax.random.fold_in(key, i))
+            return (st, jnp.sum(jnp.abs(out.transform)) * 1e-9), None
+
+        (_, c), _ = jax.lax.scan(body, (st0, c0), jnp.arange(chain))
+        return c
+
+    n = cfg.detector.num_slots
+    d = cfg.detector.descriptor_dim_padded
+    mf, mb = match_cost_model(n, n, d)
+    st = profile_kernel(
+        f"mono_step[{method}]", jax.jit(fn), (), mf * chain, mb * chain,
+        reps=reps, make_args=lambda i: (jnp.float32(i) * 1e-3,))
+    st.seconds /= chain
+    return st
