@@ -101,3 +101,90 @@ def ransac_rigid_motion(key, A, B, valid=None, num_hypotheses=100,
     resid_f = jnp.sum((_apply(T_refit, B) - A) ** 2, axis=-1)
     final_mask = (resid_f < inlier_thresh**2) & valid
     return T_refit, final_mask, jnp.sum(final_mask)
+
+
+def solve_rigid_motion_horn(A, B, weights=None, power_iters: int = 14):
+    """Closed-form weighted Kabsch via Horn's quaternion method — no SVD.
+
+    Same contract as :func:`solve_rigid_motion` (finds T with
+    ``T @ B ~= A``), but the rotation comes from the dominant eigenvector
+    of Horn's symmetric 4x4 quaternion matrix, found by a fixed-length
+    power iteration.  Everything is elementwise/tiny-matmul work that
+    vmaps cleanly over RANSAC hypothesis batches — on TPU this measures
+    ~10x cheaper than batched ``jnp.linalg.svd`` on (H, 3, 3) problems,
+    and the quaternion parameterization returns a PROPER rotation by
+    construction (no det flip needed).  Near-degenerate samples (e.g.
+    collinear triples) converge to an arbitrary rotation in their null
+    space; RANSAC scoring rejects those hypotheses.
+
+    Reference: B.K.P. Horn, "Closed-form solution of absolute orientation
+    using unit quaternions", JOSA A 4(4), 1987.
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    if weights is None:
+        weights = jnp.ones_like(A[..., 0])
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1e-12)
+    mean_a = jnp.sum(A * w, axis=-2, keepdims=True) / wsum
+    mean_b = jnp.sum(B * w, axis=-2, keepdims=True) / wsum
+    Ac = (A - mean_a) * jnp.sqrt(w)
+    Bc = (B - mean_b) * jnp.sqrt(w)
+    # Cross-covariance with rows over the A axes (as solve_rigid_motion).
+    S = jnp.einsum("...ni,...nj->...ij", Ac, Bc, precision="highest")
+
+    sxx, sxy, sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    syx, syy, syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
+    szx, szy, szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    # Horn's N for R mapping the B frame onto the A frame.
+    r0 = jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], -1)
+    r1 = jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], -1)
+    r2 = jnp.stack([szx - sxz, sxy + syx, syy - sxx - szz, syz + szy], -1)
+    r3 = jnp.stack([sxy - syx, szx + sxz, syz + szy, szz - sxx - syy], -1)
+    Nq = jnp.stack([r0, r1, r2, r3], axis=-2)          # (..., 4, 4)
+
+    # Dominant eigenvector by shifted power iteration with repeated
+    # SQUARING: |lambda(N)| <= sqrt(3)||S||_F, so N + s I is PSD with the
+    # target eigenvalue on top; squaring k times raises the eigengap to
+    # the 2^k-th power, so ~8 batched 4x4 matmuls reach machine
+    # precision where plain power iteration needs hundreds of steps.
+    shift = jnp.sqrt(3.0 * jnp.sum(S * S, axis=(-2, -1),
+                                   keepdims=True)) + 1e-6
+    M = Nq + shift * jnp.eye(4, dtype=Nq.dtype)
+    # 3-point samples have rank-2 covariance, so the eigengap is 2*sigma2
+    # — small for thin triangles; 14 squarings (effective power 2^14)
+    # reach the f32 floor even at gap ratios ~0.995
+    squarings = max(1, min(power_iters, 16))
+    for _ in range(squarings):
+        M = jnp.einsum("...ij,...jk->...ik", M, M, precision="highest")
+        M = M / jnp.maximum(
+            jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True)),
+            1e-30)
+    v = jnp.einsum("...ij,...j->...i", M,
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0],
+                                                Nq.dtype),
+                                    Nq.shape[:-1]),
+                   precision="highest")
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    # With S laid out rows-over-A-axes, this N recovers the A->B
+    # rotation; conjugating the quaternion gives the B->A map we return.
+    qw, qx, qy, qz = v[..., 0], -v[..., 1], -v[..., 2], -v[..., 3]
+
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (qy * qy + qz * qz),
+                   2 * (qx * qy - qw * qz),
+                   2 * (qx * qz + qw * qy)], -1),
+        jnp.stack([2 * (qx * qy + qw * qz),
+                   1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz - qw * qx)], -1),
+        jnp.stack([2 * (qx * qz - qw * qy),
+                   2 * (qy * qz + qw * qx),
+                   1 - 2 * (qx * qx + qy * qy)], -1),
+    ], axis=-2)
+
+    t = mean_a[..., 0, :] - jnp.einsum("...ij,...j->...i", R,
+                                       mean_b[..., 0, :],
+                                       precision="highest")
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)

@@ -67,16 +67,18 @@ def ransac_pose(key, X, observe, valid, calib: Calib,
     if cfg.hypothesis_method == "procrustes":
         # --- fit: closed-form 3D-3D Kabsch alignment (the reference's
         # alternative estimator, estimation.cpp:29-51) between previous
-        # points and the triangulated CURRENT points — one batched 3x3
-        # SVD instead of the fit while_loop; degenerate (collinear)
-        # samples yield poor models that the inlier scoring rejects.
-        from libviso_tpu.geometry.procrustes import solve_rigid_motion
+        # points and the triangulated CURRENT points — Horn's quaternion
+        # solve (squaring power iteration, no SVD: batched tiny-matrix
+        # jnp.linalg.svd costs ~0.7 ms on TPU) instead of the fit
+        # while_loop; degenerate (collinear) samples yield poor models
+        # that the inlier scoring rejects.
+        from libviso_tpu.geometry.procrustes import solve_rigid_motion_horn
         from libviso_tpu.geometry.se3 import matrix_to_pose_vector
         from libviso_tpu.geometry.triangulate import triangulate_rectified
 
         Xc = triangulate_rectified(observe, calib.f, calib.base, calib.cu,
                                    calib.cv)
-        T = solve_rigid_motion(Xc[sample_idx], Xs)  # (H,4,4): T@Xprev~Xcur
+        T = solve_rigid_motion_horn(Xc[sample_idx], Xs)  # T@Xprev~Xcur
         tr0 = matrix_to_pose_vector(T).astype(dtype)
         # Short GN polish from the closed-form init: the Kabsch solve
         # weights 3D (depth) error, which is noisy for distant points;

@@ -67,3 +67,27 @@ def test_ransac_rigid_motion_respects_valid_mask(rng):
     assert int(n_inl) == 48
     assert not bool(jnp.any(inl_mask[48:]))
     np.testing.assert_allclose(T_est, T, atol=1e-4)
+
+
+def test_horn_matches_svd_kabsch(rng):
+    """Horn-quaternion Kabsch agrees with the SVD solve on batched
+    well-posed problems."""
+    from libviso_tpu.geometry.procrustes import (
+        solve_rigid_motion,
+        solve_rigid_motion_horn,
+    )
+    from libviso_tpu.geometry.se3 import pose_vector_to_matrix
+
+    H, n = 16, 3
+    trs = jnp.asarray(rng.uniform(-0.2, 0.2, (H, 6)), jnp.float32)
+    T_true = pose_vector_to_matrix(trs)
+    B = jnp.asarray(rng.uniform(-5, 5, (H, n, 3)) + [0, 0, 12],
+                    jnp.float32)
+    A = jnp.einsum("hij,hnj->hni", T_true[:, :3, :3], B) \
+        + T_true[:, None, :3, 3]
+    T_svd = solve_rigid_motion(A, B)
+    T_horn = solve_rigid_motion_horn(A, B)
+    np.testing.assert_allclose(np.asarray(T_horn), np.asarray(T_svd),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(T_horn), np.asarray(T_true),
+                               atol=5e-5)
