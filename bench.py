@@ -21,9 +21,10 @@ Flags:
   --metric=l1|l2   descriptor metric (default l1 = reference parity;
                    l2 rides the MXU)
   --backend=xla|pallas   L1 inner-loop implementation
-  --hyp=gn|procrustes    RANSAC hypothesis estimator (default gn =
-                   reference parity; procrustes = closed-form Kabsch
-                   init + short polish, same trajectories)
+  --hyp=gn|procrustes    RANSAC hypothesis estimator (config default =
+                   procrustes: closed-form Kabsch init + short polish,
+                   trajectories bit-identical to gn; gn = the
+                   reference's GN-from-zero fit)
   --window=N       frames per batched --upload step (default 8)
   --reps=N         timed repetitions (default 30)
 
@@ -67,14 +68,14 @@ def main():
 
     metric = _flag("metric", "l1")
     backend = _flag("backend", "xla")
-    hyp = _flag("hyp", "gn")
+    hyp = _flag("hyp", None)
     window = int(_flag("window", "8"))
     reps = int(_flag("reps", "30"))
     staged = "--staged" in sys.argv
     streaming = "--upload" not in sys.argv and not staged
 
     cfg = PipelineConfig().with_metric(metric)
-    if hyp != "gn":
+    if hyp is not None:  # always applied when given (config default moves)
         import dataclasses
 
         cfg = dataclasses.replace(

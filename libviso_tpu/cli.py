@@ -29,22 +29,28 @@ import numpy as np
 def _add_cfg_flags(parser):
     """Pipeline-tuning flags shared by the kitti and synth subcommands."""
     parser.add_argument(
-        "--metric", default="l1", choices=["l1", "l2"],
+        "--metric", default=None, choices=["l1", "l2"],
         help="descriptor distance: l1 = reference parity (NORM_L1, "
-             "src/viso.cpp:989); l2 rides the MXU ~100x cheaper with "
-             "near-identical matches (docs/performance.md)")
+             "src/viso.cpp:989, the config default); l2 rides the MXU "
+             "~100x cheaper with near-identical matches "
+             "(docs/performance.md)")
     parser.add_argument(
-        "--hyp", default="gn", choices=["gn", "procrustes"],
-        help="RANSAC hypothesis estimator: gn = reference parity; "
-             "procrustes = closed-form Kabsch init + short polish")
+        "--hyp", default=None, choices=["gn", "procrustes"],
+        help="RANSAC hypothesis estimator: procrustes = closed-form "
+             "Kabsch init + short polish (the config default); gn = the "
+             "reference's GN-from-zero fit (strict hypothesis-"
+             "distribution parity)")
 
 
 def _apply_cfg_flags(cfg, args):
+    # None = flag not given -> keep the config default.  The values are
+    # applied UNCONDITIONALLY when given (comparing against a hard-coded
+    # default here silently breaks whenever the config default moves).
     import dataclasses
 
-    if getattr(args, "metric", "l1") != "l1":
+    if getattr(args, "metric", None) is not None:
         cfg = cfg.with_metric(args.metric)
-    if getattr(args, "hyp", "gn") != "gn":
+    if getattr(args, "hyp", None) is not None:
         cfg = dataclasses.replace(
             cfg, ransac=dataclasses.replace(cfg.ransac,
                                             hypothesis_method=args.hyp))

@@ -160,11 +160,14 @@ def solve_rigid_motion_horn(A, B, weights=None, power_iters: int = 14):
         M = M / jnp.maximum(
             jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True)),
             1e-30)
-    v = jnp.einsum("...ij,...j->...i", M,
-                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0],
-                                                Nq.dtype),
-                                    Nq.shape[:-1]),
-                   precision="highest")
+    # M ~ v1 v1^T after squaring (symmetric), so its largest-norm COLUMN
+    # is the dominant eigenvector — immune to the classic power-iteration
+    # failure where a fixed start vector is (near-)orthogonal to v1
+    # (e.g. rotations near 180 deg whose quaternion has qw ~ 0).
+    col_norm2 = jnp.sum(M * M, axis=-2)                    # (..., 4)
+    best = jnp.argmax(col_norm2, axis=-1)
+    v = jnp.take_along_axis(
+        M, best[..., None, None].repeat(4, axis=-2), axis=-1)[..., 0]
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
     # With S laid out rows-over-A-axes, this N recovers the A->B
     # rotation; conjugating the quaternion gives the B->A map we return.

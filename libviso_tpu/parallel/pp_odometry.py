@@ -11,12 +11,12 @@ two devices:
   stage 1 (solve):   vmapped RANSAC+GN pose for frame t-1
       (pipeline/stereo.py build_solve)
 
-The boundary is the SolveInput pytree (~46 KB/frame: gathered 3D points,
+The boundary is the SolveInput pytree (~21 KB/frame: gathered 3D points,
 observations, validity) rather than raw features (~1.4 MB) — the cheap
-seam.  With the MXU descriptor gather the two stages measure within ~20%
-of each other (docs/performance.md: detect+match ~2.3 ms vs solve
-~2.3 ms), so the steady-state cost is ~max(stage) ≈ half the serial
-frame, with 2 chips.
+seam.  Current stage costs (docs/scaling.md): prepare ~2.5 ms vs solve
+~1.3 ms, so steady-state is ~max(stage) ≈ 2.5 ms vs the 4.0 ms serial
+frame — ~1.6x with 2 chips (the matcher dominates prepare and cannot be
+split across the seam).
 
 Two drivers:
 
@@ -97,7 +97,7 @@ def build_pipelined_program(calib: Calib, F, cfg: PipelineConfig,
                 feats = frontend(
                     jax.lax.dynamic_index_in_dim(ims1, t, keepdims=False),
                     jax.lax.dynamic_index_in_dim(ims2, t, keepdims=False))
-                new_state, si = prepare(feats, state)
+                new_state, si, _ = prepare(feats, state)
                 return si, new_state, zero_out(si.obs.dtype)
 
             def stage1(si_in, state, k):
@@ -214,7 +214,7 @@ class StreamPipeline:
         frontend = build_frontend(cfg)
         prepare = build_prepare(calib, F, cfg, backend=backend)
         self._prep = jax.jit(
-            lambda state, im1, im2: prepare(frontend(im1, im2), state))
+            lambda state, im1, im2: prepare(frontend(im1, im2), state)[:2])
         self._solve = jax.jit(build_solve(calib, cfg))
         self._state = jax.device_put(empty_state(cfg), self.d_prep)
         self._key = jax.random.PRNGKey(seed)
@@ -231,7 +231,7 @@ class StreamPipeline:
         im1 = jax.device_put(jnp.asarray(im1), self.d_prep)
         im2 = jax.device_put(jnp.asarray(im2), self.d_prep)
         self._state, si = self._prep(self._state, im1, im2)
-        # ship the ~46 KB SolveInput to the solve device (async copy)
+        # ship the ~21 KB SolveInput to the solve device (async copy)
         self._pending = jax.device_put(si, self.d_solve)
         self._t += 1
         return out

@@ -69,9 +69,9 @@ class FrameDebug(NamedTuple):
 
 
 class Feats(NamedTuple):
-    """Front-end output for one stereo frame: the tensors that cross the
-    stage boundary in the pipeline-parallel layout (parallel/pp_odometry.py)
-    and the detect->match seam inside the fused single-chip step."""
+    """Front-end output for one stereo frame — the detect->match seam.
+    (The pipeline-parallel stage boundary is SolveInput, further down the
+    step; Feats stays within stage 0.)"""
 
     kp1: Keypoints   # left keypoints
     d1: jax.Array    # (N, D) left descriptors
@@ -120,18 +120,11 @@ def build_frontend(cfg: PipelineConfig):
     return frontend
 
 
-def zero_feats(cfg: PipelineConfig, dtype=jnp.float32) -> Feats:
-    """All-invalid Feats (pipeline bubble filler; running the back-end on
-    this is equivalent to running it on an empty first frame).  Derived
-    from empty_state so the two all-invalid constructions cannot drift."""
-    s = empty_state(cfg, dtype)
-    return Feats(kp1=s.kp1, d1=s.d1, kp2=s.kp2, d2=s.d2)
-
-
 class SolveInput(NamedTuple):
     """Everything the pose solve needs about one frame — the prepare/solve
     seam, and the stage boundary of the rebalanced pipeline-parallel
-    layout (~46 KB/frame vs ~1.4 MB of raw Feats)."""
+    layout (~21 KB/frame vs ~1.4 MB of raw Feats; debug-only tensors
+    like the CircleResult stay on the prepare side)."""
 
     Xp: jax.Array          # (N, 3) previous-frame 3D per circle match
     obs: jax.Array         # (N, 4) current observations (u_l,v_l,u_r,v_r)
@@ -139,32 +132,25 @@ class SolveInput(NamedTuple):
     circ_count: jax.Array  # () int32
     num_lr: jax.Array      # () int32 (FrameOutput stats)
     num_kp1: jax.Array     # () int32
-    circle: object         # CircleResult (debug writer; small int arrays)
 
 
 def zero_solve_input(cfg: PipelineConfig, dtype=jnp.float32) -> SolveInput:
     """All-invalid SolveInput (pipeline bubble filler; solving it yields
     ok=False exactly like an empty first frame)."""
-    from libviso_tpu.ops.circle import CircleResult
-
     n = cfg.detector.num_slots
     z = jnp.zeros((), jnp.int32)
-    neg = jnp.full((n,), -1, jnp.int32)
     return SolveInput(
         Xp=jnp.zeros((n, 3), dtype), obs=jnp.zeros((n, 4), dtype),
         pts_valid=jnp.zeros((n,), bool), circ_count=z, num_lr=z,
-        num_kp1=z,
-        circle=CircleResult(valid=jnp.zeros((n,), bool), right=neg,
-                            left_prev=neg, right_prev=neg, count=z))
+        num_kp1=z)
 
 
 def build_prepare(calib: Calib, F, cfg: PipelineConfig,
                   backend: str = "xla"):
     """Matching through correspondence gathering — all per-frame work
     EXCEPT the RANSAC solve.  prepare(feats, state) -> (new_state,
-    SolveInput).  With the MXU descriptor gather, detect+prepare and the
-    solve cost within ~20% of each other — the balanced stage split for
-    pipeline parallelism (SURVEY.md P4)."""
+    SolveInput, CircleResult); the CircleResult is for the debug artifact
+    writer only and stays out of the pipeline-parallel seam."""
     F = jnp.asarray(F)
 
     def prepare(feats: Feats, state: FrameState):
@@ -199,9 +185,8 @@ def build_prepare(calib: Calib, F, cfg: PipelineConfig,
         si = SolveInput(
             Xp=Xp, obs=obs, pts_valid=pts_valid, circ_count=circ.count,
             num_lr=jnp.sum(mlr.valid.astype(jnp.int32)),
-            num_kp1=jnp.sum(kp1.valid.astype(jnp.int32)),
-            circle=circ)
-        return new_state, si
+            num_kp1=jnp.sum(kp1.valid.astype(jnp.int32)))
+        return new_state, si, circ
 
     return prepare
 
@@ -209,8 +194,10 @@ def build_prepare(calib: Calib, F, cfg: PipelineConfig,
 def build_solve(calib: Calib, cfg: PipelineConfig, debug: bool = False):
     """The RANSAC+GN pose solve on a prepared frame.
 
-    solve(si, key) -> FrameOutput[, FrameDebug] — the stage-1 half of the
-    pipeline-parallel split."""
+    solve(si, key) -> FrameOutput — the stage-1 half of the
+    pipeline-parallel split.  With ``debug`` also returns the RANSAC
+    support mask and reprojections (the solve-side halves of FrameDebug;
+    the prepare side supplies the CircleResult)."""
 
     def solve(si: SolveInput, key):
         rk, = jax.random.split(key, 1)
@@ -231,9 +218,7 @@ def build_solve(calib: Calib, cfg: PipelineConfig, debug: bool = False):
             from libviso_tpu.solvers.gauss_newton import stereo_predict
 
             predict, _ = stereo_predict(est.tr, si.Xp, calib)
-            dbg = FrameDebug(circle=si.circle, inliers=est.inliers,
-                             obs=si.obs, predict=predict)
-            return out, dbg
+            return out, est.inliers, predict
         return out
 
     return solve
@@ -252,9 +237,11 @@ def build_backend(calib: Calib, F, cfg: PipelineConfig,
     solve = build_solve(calib, cfg, debug=debug)
 
     def backend_fn(feats: Feats, state: FrameState, key):
-        new_state, si = prepare(feats, state)
+        new_state, si, circ = prepare(feats, state)
         if debug:
-            out, dbg = solve(si, key)
+            out, inliers, predict = solve(si, key)
+            dbg = FrameDebug(circle=circ, inliers=inliers, obs=si.obs,
+                             predict=predict)
             return new_state, out, dbg
         return new_state, solve(si, key)
 

@@ -91,3 +91,29 @@ def test_horn_matches_svd_kabsch(rng):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(T_horn), np.asarray(T_true),
                                atol=5e-5)
+
+
+def test_horn_near_180_degree_rotations(rng):
+    """Rotations near 180 deg have qw ~ 0 — the classic failure for a
+    fixed power-iteration start vector; the dominant-column extraction
+    must stay accurate there."""
+    import numpy as np
+
+    from libviso_tpu.geometry.procrustes import solve_rigid_motion_horn
+
+    H, n = 32, 3
+    axes = rng.normal(size=(H, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    angles = np.pi - rng.uniform(0, 1e-3, H)
+    Rs = []
+    for a, th in zip(axes, angles):
+        Kx = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]],
+                       [-a[1], a[0], 0]])
+        Rs.append(np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx)
+    Rs = jnp.asarray(np.stack(Rs), jnp.float32)
+    B = jnp.asarray(rng.uniform(-5, 5, (H, n, 3)), jnp.float32)
+    A = jnp.einsum("hij,hnj->hni", Rs, B)
+    T = solve_rigid_motion_horn(A, B)
+    resid = jnp.einsum("hij,hnj->hni", T[:, :3, :3], B) \
+        + T[:, None, :3, 3] - A
+    assert float(jnp.max(jnp.abs(resid))) < 2e-4
