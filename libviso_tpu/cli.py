@@ -40,6 +40,14 @@ def _add_cfg_flags(parser):
              "Kabsch init + short polish (the config default); gn = the "
              "reference's GN-from-zero fit (strict hypothesis-"
              "distribution parity)")
+    parser.add_argument(
+        "--subpixel", action="store_true",
+        help="quadratic subpixel corner refinement (beyond-reference: "
+             "~2x lower ATE for ~4%% frame time, docs/performance.md)")
+    parser.add_argument(
+        "--pyramid", type=int, default=None, metavar="L",
+        help="multi-scale detection over L pyramid levels "
+             "(beyond-reference)")
 
 
 def _apply_cfg_flags(cfg, args):
@@ -54,6 +62,14 @@ def _apply_cfg_flags(cfg, args):
         cfg = dataclasses.replace(
             cfg, ransac=dataclasses.replace(cfg.ransac,
                                             hypothesis_method=args.hyp))
+    det = {}
+    if getattr(args, "subpixel", False):
+        det["subpixel"] = True
+    if getattr(args, "pyramid", None) is not None:
+        det["pyramid_levels"] = args.pyramid
+    if det:
+        cfg = dataclasses.replace(
+            cfg, detector=dataclasses.replace(cfg.detector, **det))
     return cfg
 
 

@@ -99,3 +99,17 @@ def test_cfg_flags_apply():
     args = p.parse_args([])
     cfg = cli._apply_cfg_flags(PipelineConfig(), args)
     assert cfg == PipelineConfig()
+
+
+def test_cfg_flags_detector_options():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    cli._add_cfg_flags(p)
+    from libviso_tpu.config import PipelineConfig
+
+    args = p.parse_args(["--subpixel", "--pyramid", "3", "--hyp", "gn"])
+    cfg = cli._apply_cfg_flags(PipelineConfig(), args)
+    assert cfg.detector.subpixel is True
+    assert cfg.detector.pyramid_levels == 3
+    assert cfg.ransac.hypothesis_method == "gn"  # explicit gn must stick
