@@ -57,6 +57,8 @@ class FrameOutput(NamedTuple):
     num_inliers: jax.Array  # () int32 RANSAC support size
     num_lr: jax.Array       # () int32 stereo matches
     num_kp1: jax.Array      # () int32 detected left corners
+    rms: jax.Array          # () reprojection RMS over the support
+    #                         (reference logs it, viso.cpp:1577-1578)
 
 
 class FrameDebug(NamedTuple):
@@ -213,6 +215,7 @@ def build_solve(calib: Calib, cfg: PipelineConfig, debug: bool = False):
             num_inliers=est.num_inliers,
             num_lr=si.num_lr,
             num_kp1=si.num_kp1,
+            rms=est.rms,
         )
         if debug:
             from libviso_tpu.solvers.gauss_newton import stereo_predict
@@ -400,6 +403,7 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
                 "num_lr": int(out.num_lr),
                 "num_circle": int(out.num_circle),
                 "num_inliers": int(out.num_inliers),
+                "reproj_rms": float(out.rms),
             })
         pending.clear()
 

@@ -37,6 +37,12 @@ class RansacPoseResult(NamedTuple):
     num_inliers: jax.Array   # () int32
     ok: jax.Array            # () bool — reference's boolean return value
     best_hypothesis: jax.Array  # () int32 index (diagnostics)
+    rms: jax.Array           # () reprojection RMS over the final support.
+    #   The reference logs this per frame (src/viso.cpp:1577-1578) but its
+    #   get_inliers OVERWRITES err2 each iteration instead of accumulating
+    #   (viso.cpp:1526-1533), so it actually reports
+    #   sqrt(last_point_err2 / N); we implement the evident intent
+    #   (deliberate divergence, same class as PARITY.md #1).
 
 
 def ransac_pose(key, X, observe, valid, calib: Calib,
@@ -120,10 +126,13 @@ def ransac_pose(key, X, observe, valid, calib: Calib,
     n_final = jnp.sum(final_mask)
 
     ok = (jnp.sum(best_mask) >= cfg.min_inliers) & refit.converged
+    rms = jnp.sqrt(jnp.sum(jnp.where(final_mask, err2_f, 0.0))
+                   / jnp.maximum(n_final, 1))
     return RansacPoseResult(
         tr=refit.tr,
         inliers=final_mask,
         num_inliers=n_final,
         ok=ok,
         best_hypothesis=best,
+        rms=rms.astype(dtype),
     )
