@@ -191,12 +191,17 @@ def _polyval(coeffs, z):
     return acc
 
 
-def real_roots_deg10(coeffs, grid_size: int = 512, bisect_iters: int = 48,
-                     newton_iters: int = 3, max_bound: float = 100.0):
+def real_roots_deg10(coeffs, grid_size: int = 512, bisect_iters: int = 12,
+                     newton_iters: int = 4, max_bound: float = 100.0):
     """Up to 10 real roots of a degree-10 polynomial (batched, fixed shape).
 
     Sign changes over a TANGENT-spaced grid on [-R, R] (R = clamped Cauchy
-    bound) seed bisection brackets.  The tan spacing is densest near zero —
+    bound) seed bisection brackets.  Bisection only needs to reach the
+    Newton basin (brackets start at ~R/256 wide, so 12 halvings land at
+    ~1e-5 relative); the quadratic Newton polish does the rest.  (The
+    mono frame time is insensitive to the bisection depth — the cost
+    lives in the candidate scoring — but fewer sequential steps is
+    strictly better.)  The tan spacing is densest near zero —
     where 5-point roots cluster, since the nullspace coordinates are
     normalized to w=1 — and sparse toward the bound; a Chebyshev grid has
     exactly the wrong density profile here (dense at +-R) and misses close
