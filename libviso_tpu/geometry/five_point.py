@@ -197,8 +197,10 @@ def real_roots_deg10(coeffs, grid_size: int = 512, bisect_iters: int = 12,
 
     Sign changes over a TANGENT-spaced grid on [-R, R] (R = clamped Cauchy
     bound) seed bisection brackets.  Bisection only needs to reach the
-    Newton basin (brackets start at ~R/256 wide, so 12 halvings land at
-    ~1e-5 relative); the quadratic Newton polish does the rest.  (The
+    Newton basin: central brackets start ~R/256 wide (the tan grid's
+    outermost intervals are far wider, ~0.6R at bound=100, but Newton's
+    basin for the simple large-|z| roots covers what 12 halvings leave);
+    the quadratic Newton polish does the rest.  (The
     mono frame time is insensitive to the bisection depth — the cost
     lives in the candidate scoring — but fewer sequential steps is
     strictly better.)  The tan spacing is densest near zero —
@@ -207,8 +209,9 @@ def real_roots_deg10(coeffs, grid_size: int = 512, bisect_iters: int = 12,
     exactly the wrong density profile here (dense at +-R) and misses close
     root pairs near the origin.  Roots between same-sign grid points
     (even-multiplicity pairs closer than the local spacing) are still
-    missed — acceptable inside RANSAC, where a lost hypothesis costs one
-    sample.
+    missed, and f32 evaluation chatter near the noise floor can burn
+    bracket slots on spurious crossings — both acceptable inside RANSAC,
+    where a lost candidate costs one sample out of 64.
 
     Returns (roots (..., 14), valid (..., 14)): 10 sign-change
     slots + 4 local-minimum slots.
@@ -320,7 +323,7 @@ def five_point_E(x1, x2):
 
     Bx, By, B1 = _b_polys(C)
     det = _det_poly(Bx, By, B1)                                # (..., 11)
-    z, z_valid = real_roots_deg10(det)                         # (..., 10)
+    z, z_valid = real_roots_deg10(det)                         # (..., 14)
 
     # back-substitute each root slot: B(z) [x, y, 1]' = 0
     def eval_rows(P, z):

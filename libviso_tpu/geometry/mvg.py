@@ -226,8 +226,9 @@ def stereo_rectify(rig):
       - split the inter-camera rotation evenly: each camera rotates by
         half of R (so both images distort equally),
       - rotate both so the new x-axis aligns with the (rotated) baseline,
-      - rectified intrinsics share f and cv; cu is kept per-camera from
-        the originals (zero-disparity at infinity along x).
+      - rectified intrinsics share f, cv AND cu (the averaged principal
+        point — both projections use one shared Kr, so disparity at
+        infinity is exactly zero and Q needs no cx-cx' term).
 
     Returns a new StereoCam with R1, R2, P1, P2, Q populated.  After
     rectification x2 = R2 (R x1 + t), x1' = R1 x1 have identical v

@@ -132,6 +132,14 @@ def solve_rigid_motion_horn(A, B, weights=None, power_iters: int = 14):
     Bc = (B - mean_b) * jnp.sqrt(w)
     # Cross-covariance with rows over the A axes (as solve_rigid_motion).
     S = jnp.einsum("...ni,...nj->...ij", Ac, Bc, precision="highest")
+    # The rotation depends only on S's direction — normalize so the
+    # squaring chain below cannot overflow f32.  Without this, clouds
+    # with ~1e6 coordinates (e.g. clamped-disparity false stereo matches
+    # triangulated to ~f*b/1e-4) give S ~ 1e13, M@M ~ 1e26 and the
+    # normalizer sum(M*M) -> inf, silently collapsing the quaternion to
+    # zero and the rotation to identity.
+    S = S / jnp.maximum(
+        jnp.sqrt(jnp.sum(S * S, axis=(-2, -1), keepdims=True)), 1e-30)
 
     sxx, sxy, sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
     syx, syy, syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]

@@ -37,15 +37,14 @@ from libviso_tpu.geometry.se3 import euler_to_rotation, rotation_derivatives
 
 
 def _project_all(poses, X, calib: Calib):
-    """Stereo predictions of all landmarks in all frames: (W, L, 4)."""
-    R = euler_to_rotation(poses[:, :3])            # (W, 3, 3)
-    t = poses[:, None, 3:6]                        # (W, 1, 3)
-    Xc = jnp.einsum("wij,lj->wli", R, X, precision="highest") + t
-    Z = Xc[..., 2]
-    u_l = calib.f * Xc[..., 0] / Z + calib.cu
-    v_l = calib.f * Xc[..., 1] / Z + calib.cv
-    u_r = calib.f * (Xc[..., 0] - calib.base) / Z + calib.cu
-    return jnp.stack([u_l, v_l, u_r, v_l], axis=-1), Xc
+    """Stereo predictions of all landmarks in all frames: (W, L, 4).
+
+    Delegates to the GN solver's stereo_predict — (W, 6) poses broadcast
+    against (L, 3) landmarks — so BA and the frame solver share ONE
+    projection model."""
+    from libviso_tpu.solvers.gauss_newton import stereo_predict
+
+    return stereo_predict(poses, X, calib)
 
 
 def _jacobians(poses, X, Xc, calib: Calib):

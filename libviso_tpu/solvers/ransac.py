@@ -8,12 +8,17 @@ models simultaneously.  Sampling replaces the reference's reservoir sampler
 (statistically equivalent: a uniform random ``model_size``-subset of valid
 points).  Semantics preserved:
 
-  - models are fit from a zero initial motion on a 3-point sample,
+  - each 3-point sample yields a model — by default a closed-form
+    Horn-Kabsch alignment plus short polish (PARITY.md divergence #7);
+    ``hypothesis_method='gn'`` restores the reference's GN fit from a
+    zero initial motion,
   - the support set is every point with unweighted squared reprojection
     error < threshold^2 (src/viso.cpp:1525-1534),
   - the best model is refit on its whole support set and re-scored,
-  - the estimate fails when the final support has < 6 points or either GN
-    solve diverges (src/viso.cpp:1571-1573).
+  - the estimate fails when the BEST hypothesis's support has < 6 points
+    or the refit diverges — matching the reference, which checks the
+    pre-refit support size (src/viso.cpp:1571-1573) and keeps the refit
+    result regardless of how the re-scored support shrinks.
 """
 
 from __future__ import annotations

@@ -117,3 +117,20 @@ def test_horn_near_180_degree_rotations(rng):
     resid = jnp.einsum("hij,hnj->hni", T[:, :3, :3], B) \
         + T[:, None, :3, 3] - A
     assert float(jnp.max(jnp.abs(resid))) < 2e-4
+
+
+def test_horn_huge_coordinates_no_overflow(rng):
+    """Clouds at ~1e6 coordinates (clamped-disparity triangulations) must
+    not overflow the squaring chain into an identity rotation."""
+    from libviso_tpu.geometry.procrustes import solve_rigid_motion_horn
+    from libviso_tpu.geometry.se3 import pose_vector_to_matrix
+
+    H, n = 8, 3
+    trs = jnp.asarray(rng.uniform(-0.2, 0.2, (H, 6)), jnp.float32)
+    T_true = pose_vector_to_matrix(trs)
+    B = jnp.asarray(rng.uniform(-5e5, 5e5, (H, n, 3)), jnp.float32)
+    A = jnp.einsum("hij,hnj->hni", T_true[:, :3, :3], B) \
+        + T_true[:, None, :3, 3]
+    T = solve_rigid_motion_horn(A, B)
+    np.testing.assert_allclose(np.asarray(T[:, :3, :3]),
+                               np.asarray(T_true[:, :3, :3]), atol=1e-3)
