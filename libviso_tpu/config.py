@@ -118,7 +118,7 @@ class MatchConfig:
     use_ratio: bool = False
     ratio: float = 0.9
     # Descriptor distance: 'l1' reproduces the reference metric
-    # (NORM_L1, src/viso.cpp:989-992) on the VPU; 'l2' uses squared
+    # (NORM_L1, src/viso.cpp:989-992) on the VPU; 'l2' uses true
     # Euclidean distance via the matmul identity so the (N1 x N2 x D)
     # reduction rides the MXU (~10x faster, near-identical match sets on
     # Sobel-patch descriptors).

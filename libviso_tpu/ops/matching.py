@@ -66,8 +66,8 @@ def _l1_desc_dist_xla(d1, d2, row_chunk=128):
     return jax.lax.map(body, blocks).reshape(N1, d2.shape[0])
 
 
-def _l2sq_desc_dist(d1, d2):
-    """All-pairs squared-L2 distance via the matmul identity (MXU path).
+def _l2_desc_dist(d1, d2):
+    """All-pairs (true) L2 distance via the matmul identity (MXU path).
 
     ||a - b||^2 = ||a||^2 + ||b||^2 - 2 a.b — the (N1, D) x (D, N2)
     contraction runs on the systolic array instead of the VPU.  Clamped at
@@ -84,7 +84,7 @@ def _l2sq_desc_dist(d1, d2):
 def descriptor_distances(d1, d2, metric="l1", backend="xla"):
     """All-pairs descriptor distance matrix under the configured metric."""
     if metric == "l2":
-        return _l2sq_desc_dist(d1, d2)
+        return _l2_desc_dist(d1, d2)
     if metric != "l1":
         raise ValueError(f"unknown metric {metric!r}")
     if backend == "pallas":
@@ -197,6 +197,16 @@ def match_frame_triple(kp1: Keypoints, d1, kp2: Keypoints, d2,
 
     Returns (match_lr, match_11, match_22).
     """
+    if temporal.use_epipolar:
+        # A constant F relates the two STEREO views; consecutive frames
+        # are related by the unknown motion being estimated, so there is
+        # no F to gate temporal matches with — the reference never does
+        # (MatchParams defaults, viso.cpp:72-74).  The batched path would
+        # otherwise silently drop the flag and the fallback path would
+        # raise from match_descriptors; fail uniformly here.
+        raise ValueError(
+            "temporal_match.use_epipolar is unsupported: no fundamental "
+            "matrix exists for unknown frame-to-frame motion")
     if (stereo.radius != temporal.radius
             or stereo.metric != temporal.metric):
         mlr = match_descriptors(kp1, d1, kp2, d2, stereo, F=F,

@@ -19,7 +19,7 @@ bf16-input variant all land at ~1.2 TFLOP/s — the practical VPU ceiling
 for a 3-op dependent chain (sub, abs, accumulate).  The matcher is
 compute-bound at that ceiling; the only way faster is to change the math:
 ``MatchConfig.metric = 'l2'`` expands to a matmul and runs on the MXU at
-~100x lower cost (ops/matching.py::_l2sq_desc_dist).
+~100x lower cost (ops/matching.py::_l2_desc_dist).
 """
 
 from __future__ import annotations

@@ -20,6 +20,8 @@ single-scale, integer-pixel: src/viso.cpp:925-976).  Design:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from libviso_tpu.config import DetectorConfig
@@ -55,8 +57,14 @@ def subpixel_refine(resp, kp: Keypoints):
     """
     a = jnp.abs(resp)
     H, W = a.shape
-    x = jnp.clip(kp.xy[:, 0].astype(jnp.int32), 1, W - 2)
-    y = jnp.clip(kp.xy[:, 1].astype(jnp.int32), 1, H - 2)
+    xi = kp.xy[:, 0].astype(jnp.int32)
+    yi = kp.xy[:, 1].astype(jnp.int32)
+    x = jnp.clip(xi, 1, W - 2)
+    y = jnp.clip(yi, 1, H - 2)
+    # border corners: the clamp re-centers the 3x3 fit on a DIFFERENT
+    # pixel, so its offset does not describe the original corner — keep
+    # those at their integer position instead of shifting them
+    unclamped = (x == xi) & (y == yi)
 
     def g(dy, dx):
         return a[y + dy, x + dx]
@@ -74,7 +82,8 @@ def subpixel_refine(resp, kp: Keypoints):
     dy = -(gxx * gy - gxy * gx) / det
     dx = jnp.clip(jnp.where(safe, dx, 0.0), -0.5, 0.5)
     dy = jnp.clip(jnp.where(safe, dy, 0.0), -0.5, 0.5)
-    new_xy = kp.xy + jnp.stack([dx, dy], axis=-1) * kp.valid[:, None]
+    apply = (kp.valid & unclamped)[:, None]
+    new_xy = kp.xy + jnp.stack([dx, dy], axis=-1) * apply
     return kp._replace(xy=new_xy)
 
 
@@ -119,13 +128,12 @@ def detect_and_describe_multiscale(img, cfg: DetectorConfig,
                 nbiny_l = max(1, nbiny_l // 2)
         nbins_l = nbinx_l * nbiny_l
         k_l = max(1, min(cfg.corners_per_bin, slots_l // nbins_l))
-        cfg_l = DetectorConfig(
-            max_features=k_l * nbins_l,
-            nbinx=nbinx_l, nbiny=nbiny_l,
-            harris_k=cfg.harris_k, block_size=cfg.block_size,
-            aperture=cfg.aperture,
-            descriptor_radius=cfg.descriptor_radius,
-            num_slots=slots_l,
+        # replace, not re-construct: fields not overridden here
+        # (descriptor_gather, future additions) must carry through
+        cfg_l = dataclasses.replace(
+            cfg, max_features=k_l * nbins_l,
+            nbinx=nbinx_l, nbiny=nbiny_l, num_slots=slots_l,
+            pyramid_levels=1, subpixel=False,
         )
         kp_l = detect_harris_binned(im_l, cfg_l)
         if subpixel:

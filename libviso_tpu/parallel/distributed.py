@@ -14,10 +14,17 @@ Launch contract (each host):
         python -m libviso_tpu.cli kitti ...
 
 plus `initialize_from_env()` early in main.  On Cloud TPU the three vars
-are auto-detected and may be omitted.  Each host decodes only the frame
-range `host_frame_range()` assigns it (with a 1-frame halo, the only
-cross-chunk dependency — SURVEY.md P1), then `global_frame_array()` builds
-the globally-sharded array from process-local chunks.
+are auto-detected and may be omitted.  Two per-host data plans live here
+and in parallel/odometry.py — use the one matching the program you run:
+
+  - frame-level sharding: decode `host_frame_range()`'s span (remainder
+    spread over the leading hosts, 1-frame halo) and assemble with
+    `global_frame_array()`;
+  - the CHUNKED odometry program (`run_sharded_odometry_multihost`):
+    decode `parallel.odometry.host_chunk_assignment()`'s span — its
+    chunk-aligned uniform-ceil partitioning differs from
+    host_frame_range whenever motions % hosts != 0, and the program
+    validates against it.
 """
 
 from __future__ import annotations

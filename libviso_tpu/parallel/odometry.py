@@ -160,8 +160,10 @@ def run_sharded_odometry(mesh: Mesh, P1, P2, frames_left, frames_right,
 
     program = jax.jit(_build_stitch_program(chunk_fn))
 
-    ims1 = jax.device_put(jnp.asarray(ims1, jnp.float32), data_sharding)
-    ims2 = jax.device_put(jnp.asarray(ims2, jnp.float32), data_sharding)
+    # dtype passthrough: uint8 frames ship at 1/4 the f32 traffic and the
+    # detector casts on-device
+    ims1 = jax.device_put(jnp.asarray(ims1), data_sharding)
+    ims2 = jax.device_put(jnp.asarray(ims2), data_sharding)
     n_valid = jax.device_put(jnp.asarray(n_valid), data_sharding)
     key = jax.device_put(jax.random.PRNGKey(seed), replicated)
 
@@ -247,8 +249,9 @@ def run_sharded_odometry_multihost(mesh: Mesh, P1, P2, local_left,
         lo = s - plan["frame_start"]
         lefts.append(_pad_chunk(local_left, lo, L))
         rights.append(_pad_chunk(local_right, lo, L))
-    local_chunks_l = np.stack(lefts).astype(np.float32)
-    local_chunks_r = np.stack(rights).astype(np.float32)
+    # dtype passthrough (uint8 stays uint8; the detector casts on-device)
+    local_chunks_l = np.stack(lefts)
+    local_chunks_r = np.stack(rights)
 
     calib = Calib.from_projections(P1, P2)
     F = F_from_P_host(P1, P2)

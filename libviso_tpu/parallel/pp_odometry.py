@@ -181,6 +181,24 @@ def _assemble(outs):
     return poses, motions, ok
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _stream_jits(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
+                 backend: str):
+    """One (prepare, solve) jit pair per configuration: constructing a
+    second StreamPipeline with the same setup must not recompile the
+    front-end (~20 s on the tunneled chip)."""
+    F = np.frombuffer(f_bytes, np.float64).reshape(3, 3)
+    frontend = build_frontend(cfg)
+    prepare = build_prepare(calib, F, cfg, backend=backend)
+    prep = jax.jit(
+        lambda state, im1, im2: prepare(frontend(im1, im2), state)[:2])
+    solve = jax.jit(build_solve(calib, cfg))
+    return prep, solve
+
+
 class StreamPipeline:
     """Live-stream pipeline parallelism: two async jits on two devices.
 
@@ -212,11 +230,9 @@ class StreamPipeline:
         self.d_prep, self.d_solve = devices[0], devices[1]
         calib = Calib.from_projections(P1, P2)
         F = F_from_P_host(P1, P2)
-        frontend = build_frontend(cfg)
-        prepare = build_prepare(calib, F, cfg, backend=backend)
-        self._prep = jax.jit(
-            lambda state, im1, im2: prepare(frontend(im1, im2), state)[:2])
-        self._solve = jax.jit(build_solve(calib, cfg))
+        self._prep, self._solve = _stream_jits(
+            calib, np.ascontiguousarray(F, np.float64).tobytes(), cfg,
+            backend)
         self._state = jax.device_put(empty_state(cfg), self.d_prep)
         self._key = jax.random.PRNGKey(seed)
         self._pending = None   # SolveInput of the last prepared frame

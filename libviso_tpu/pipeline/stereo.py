@@ -418,7 +418,11 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
         if debug:
             state, out, dbg = step(state, im1, im2,
                                    jax.random.fold_in(key, t))
-            mlr = type("M", (), {"idx": state.match_lr})
+            from libviso_tpu.ops.matching import MatchResult
+
+            mlr = MatchResult(idx=state.match_lr,
+                              dist=jnp.zeros_like(state.kp1.response),
+                              valid=state.match_lr >= 0)
             dumper.frame(
                 t, np.asarray(im1), np.asarray(im2), state.kp1, state.kp2,
                 mlr,

@@ -181,7 +181,12 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         # local index 0 is the window's halo frame (no motion)
         motions[s + 1:e] = use[1:]
         motions_vo[s + 1:e] = np.asarray(out.motions)[1:]
-        oks[s + 1:e] = out_ok[1:] | bool(ok_ba)
+        # BA convergence vouches only for frames it actually observed:
+        # a frame whose tracks all broke (e.g. blackout) has an
+        # unconstrained camera and must stay not-ok even when the window
+        # BA around it converged
+        constrained = np.asarray(out.num_circle)[1:] >= cfg.min_circle_matches
+        oks[s + 1:e] = out_ok[1:] | (bool(ok_ba) & constrained)
         if checkpoint is not None and (w + 1) % checkpoint.every == 0:
             _snapshot(w + 1)
 
