@@ -172,10 +172,13 @@ def _cmd_kitti(args):
     poses_path = os.path.join(result_dir, "data", f"{args.seq}.txt")
     save_poses_kitti(poses_path, res.poses)
     n = len(res.poses)
+    # fps over frames computed THIS run: a checkpoint-resumed run must
+    # not claim the restored frames' throughput
+    n_new = getattr(res, "processed", n)
     print(json.dumps({
         "sequence": args.seq, "frames": n,
         "solved": int(res.frame_ok.sum()),
-        "fps": n / dt if dt > 0 else None,
+        "fps": n_new / dt if dt > 0 else None,
         "poses": poses_path, **extra,
     }))
 
@@ -209,8 +212,6 @@ def _cmd_mono(args):
     Reads a 3x3 K from a text file (3 rows of 3 floats, or a KITTI-style
     P0 row of which the left 3x3 is used) and a printf-style image mask.
     """
-    from PIL import Image
-
     from libviso_tpu.pipeline.mono import run_mono_sequence
 
     vals = np.loadtxt(args.calib, dtype=np.float64)
@@ -219,14 +220,16 @@ def _cmd_mono(args):
     else:
         K = vals.reshape(3, 3)
 
+    from libviso_tpu.io.kitti import _read_gray
+
     def frames():
         i = args.begin
         while args.end is None or i <= args.end:
             path = args.image_mask % i
             if not os.path.exists(path):
                 return
-            with Image.open(path) as im:
-                yield np.asarray(im.convert("L"), dtype=np.uint8)
+            # shared reader: native libpng decode for .png, PIL otherwise
+            yield _read_gray(path)
             i += 1
 
     t0 = time.perf_counter()
@@ -274,6 +277,10 @@ def _cmd_eval(args):
         from libviso_tpu.utils.debug_viz import save_trajectory
 
         out["plot"] = save_trajectory(args.plot, est, gt)
+    # NaN (e.g. devkit-style errors on clips shorter than the 100 m
+    # segment) is not valid strict JSON -> emit null
+    out = {k: (None if isinstance(v, float) and np.isnan(v) else v)
+           for k, v in out.items()}
     print(json.dumps(out))
 
 

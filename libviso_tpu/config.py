@@ -12,8 +12,10 @@ Defaults reproduce the reference behavior:
     aperture 5, descriptor radius 5    (src/viso.cpp:911-979, 1172-1174)
   - stereo matching: radius 80, Sampson gate 1.0 for LR, ratio .9 for
     temporal matches                    (src/viso.cpp:62-74)
-  - RANSAC: 50 iterations, inlier threshold 2 px, GN convergence 1e-4,
-    >=6 inliers required                (src/viso.h:60, src/viso.cpp:1571)
+  - RANSAC: inlier threshold 2 px, GN convergence 1e-4, >=6 inliers
+    required (src/viso.h:60, src/viso.cpp:1571); hypothesis count is 64
+    vs the reference's 50 serial iterations — a deliberate round-up to a
+    vmap-friendly batch (PARITY.md divergence #8)
 """
 
 from __future__ import annotations

@@ -150,11 +150,18 @@ class StereoImageStream:
                 return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         done = object()
+        failure = []
 
         def worker():
+            # decode errors must reach the consumer: swallowing them here
+            # would silently truncate the sequence and the run would
+            # report success over a partial trajectory (the native path
+            # raises for the same corrupt frame)
             try:
                 for item in self._frames():
                     q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                failure.append(e)
             finally:
                 q.put(done)
 
@@ -163,5 +170,7 @@ class StereoImageStream:
         while True:
             item = q.get()
             if item is done:
+                if failure:
+                    raise failure[0]
                 return
             yield item

@@ -297,6 +297,9 @@ class SequenceResult:
     motions: np.ndarray      # (T, 6) per-frame motion vectors
     frame_ok: np.ndarray     # (T,) bool
     stats: list              # per-frame dicts (match counts etc.)
+    processed: int = 0       # frames computed THIS run (excludes
+    #                          checkpoint-restored ones) — the honest
+    #                          denominator for throughput
 
 
 def run_stereo_sequence(frames: Iterable, P1, P2,
@@ -455,4 +458,4 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
     else:
         poses = np.zeros((0, 4, 4))
     return SequenceResult(poses=poses, motions=motions, frame_ok=oks_arr,
-                          stats=stats)
+                          stats=stats, processed=len(motions) - t0)

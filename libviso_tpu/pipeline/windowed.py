@@ -62,6 +62,8 @@ class WindowedResult:
     motions: np.ndarray     # (T, 6) refined motions
     frame_ok: np.ndarray    # (T,)
     window_costs: list      # (initial, final, ok) per window
+    processed: int = 0      # frames computed THIS run (excludes
+    #                         checkpoint-restored windows)
 
 
 def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
@@ -198,5 +200,7 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
     poses = np.asarray(chain_motions(Ts, jnp.asarray(oks)))
     Ts_vo = pose_vector_to_matrix(jnp.asarray(motions_vo))
     poses_vo = np.asarray(chain_motions(Ts_vo, jnp.asarray(oks)))
+    processed = 0 if w0 >= len(starts) else T - starts[w0]
     return WindowedResult(poses=poses, poses_vo=poses_vo, motions=motions,
-                          frame_ok=oks, window_costs=window_costs)
+                          frame_ok=oks, window_costs=window_costs,
+                          processed=processed)

@@ -76,8 +76,14 @@ def _stamp_bilinear(img, xf, yf, patch):
     y1c, x1c = min(h, y1), min(w, x1)
     if y1c <= y0c or x1c <= x0c:
         return
-    img[y0c:y1c, x0c:x1c] = shifted[sy0:sy0 + (y1c - y0c),
-                                    sx0:sx0 + (x1c - x0c)]
+    # composite with max: at integral positions the splat's zero-padded
+    # last row/column would otherwise OVERWRITE the noise background with
+    # 0, stamping an artificial high-contrast L-border the integer-render
+    # _stamp does not produce (it would confound subpixel-vs-integer
+    # oracle comparisons with spurious Harris responses)
+    dst = img[y0c:y1c, x0c:x1c]
+    np.maximum(dst, shifted[sy0:sy0 + (y1c - y0c),
+                            sx0:sx0 + (x1c - x0c)], out=dst)
 
 
 def generate_sequence(num_frames=12, num_points=900, seed=0,

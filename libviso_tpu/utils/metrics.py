@@ -88,14 +88,20 @@ def kitti_trajectory_errors(poses_est, poses_gt, lengths=(100, 200, 300, 400,
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics sink (SURVEY.md §5.5)."""
+    """JSONL metrics sink (SURVEY.md §5.5).
 
-    def __init__(self, path: Optional[str] = None):
+    ``mode='w'`` (default) truncates: per-run sinks like the CLI's
+    metrics.jsonl would otherwise double-count frames when a completed
+    sequence is rerun (e.g. a checkpointed no-op run).  Pass ``mode='a'``
+    for a cross-run accumulating log.
+    """
+
+    def __init__(self, path: Optional[str] = None, mode: str = "w"):
         self.path = path
         self._fh: Optional[IO] = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            self._fh = open(path, "a")
+            self._fh = open(path, mode)
 
     def log(self, record: dict):
         if self._fh:

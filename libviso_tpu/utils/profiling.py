@@ -75,19 +75,36 @@ class KernelStats:
                 f"{self.gbytes_per_s:.1f} GB/s{util}{bw}")
 
 
+
+def _per_iteration(st: KernelStats, chain: int) -> KernelStats:
+    """Scale a chained measurement to per-iteration units CONSISTENTLY:
+    seconds, flops, and bytes all divide by the chain length (scaling
+    only seconds would make flops/seconds disagree with gflops)."""
+    return dataclasses.replace(st, seconds=st.seconds / chain,
+                               flops=st.flops / chain,
+                               bytes=st.bytes / chain)
+
 def time_jitted(fn: Callable, args: tuple = (), reps: int = 20,
                 warmup: int = 3,
-                make_args: Optional[Callable[[int], tuple]] = None) -> float:
+                make_args: Optional[Callable[[int], tuple]] = None,
+                allow_static_args: bool = False) -> float:
     """Median steady-state seconds for one call of a jitted fn.
 
-    Pass ``make_args(i) -> args`` to vary the inputs every repetition.
-    This is not optional hygiene on tunneled backends: the transport
+    ``make_args(i) -> args`` varies the inputs every repetition and is
+    REQUIRED unless ``allow_static_args=True``: the tunnel transport
     memoizes executions with bit-identical argument buffers after a few
     repeats, so static-arg timing collapses to cache-hit latency and
-    reports physically impossible rates.  ``make_args`` should be cheap
-    (e.g. return pre-staged device arrays indexed by ``i``).
+    reports physically impossible rates (CLAUDE.md).  ``make_args``
+    should be cheap (e.g. return pre-staged device arrays indexed by
+    ``i``).
     """
     if make_args is None:
+        if not allow_static_args:
+            raise ValueError(
+                "time_jitted needs make_args(i) to vary inputs per rep "
+                "(tunnel memoization reports impossible rates otherwise); "
+                "pass allow_static_args=True only on non-memoizing "
+                "backends")
         make_args = lambda i: args
     out = None
     for i in range(warmup):
@@ -198,7 +215,7 @@ def profile_matcher(n1: int = 1280, n2: int = 1280, d: int = 128,
                         f"{n1}x{n2}x{d}", fn, (),
                         flops * chain, nbytes * chain, reps=reps,
                         make_args=lambda i: (jnp.float32(i) * 1e-9, d1, d2))
-    st.seconds /= chain
+    st = _per_iteration(st, chain)
     return st
 
 
@@ -238,7 +255,7 @@ def profile_solver(num_hypotheses: int = 64, gn_iters: int = 20,
         f"ransac_gn K={num_hypotheses} iters={gn_iters} N={n_points}",
         fn, (), flops * chain, nbytes * chain, reps=reps,
         make_args=lambda i: (jnp.float32(i) * 1e-9, X, obs))
-    st.seconds /= chain
+    st = _per_iteration(st, chain)
     return st
 
 
@@ -290,7 +307,7 @@ def profile_frame_step(cfg=None, reps: int = 5, chain: int = 32,
         "frame_step", jax.jit(fn), (), (3 * mf + gf) * chain,
         (3 * mb + gb) * chain, reps=reps,
         make_args=lambda i: (jnp.float32(i) * 1e-3,))
-    st.seconds /= chain
+    st = _per_iteration(st, chain)
     return st
 
 
@@ -334,5 +351,5 @@ def profile_mono_step(cfg=None, method: str = "5pt", reps: int = 5,
     st = profile_kernel(
         f"mono_step[{method}]", jax.jit(fn), (), mf * chain, mb * chain,
         reps=reps, make_args=lambda i: (jnp.float32(i) * 1e-3,))
-    st.seconds /= chain
+    st = _per_iteration(st, chain)
     return st
