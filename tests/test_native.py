@@ -123,3 +123,27 @@ def test_stream_error_propagates_and_stream_continues(tmp_path, rng):
         assert np.array_equal(s.next(), imgs[3])
         assert np.array_equal(s.next(), imgs[4])
         assert s.next() is None
+
+
+def test_pil_fallback_propagates_decode_errors(tmp_path, rng, monkeypatch):
+    """The PIL prefetch fallback must raise for a corrupt frame instead of
+    silently truncating the stream (same contract as the native path)."""
+    from PIL import Image
+
+    from libviso_tpu.io import kitti as kio
+
+    for i in range(3):
+        for side in ("l", "r"):
+            img = rng.integers(0, 255, (16, 24)).astype(np.uint8)
+            Image.fromarray(img).save(tmp_path / f"{side}-{i:02d}.png")
+    # corrupt frame 1's left image
+    (tmp_path / "l-01.png").write_bytes(b"not a png at all")
+
+    # force the PIL path even when the native runtime is available
+    monkeypatch.setattr(kio, "_native", lambda: None)
+    stream = kio.StereoImageStream(str(tmp_path / "l-%02d.png"),
+                                   str(tmp_path / "r-%02d.png"))
+    it = iter(stream)
+    next(it)  # frame 0 decodes fine
+    with pytest.raises(Exception):
+        list(it)  # frame 1 must raise, not end the stream
