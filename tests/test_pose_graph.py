@@ -1,0 +1,74 @@
+"""Pose-graph optimization: drift removal under loop-closure constraints
+(beyond-reference back-end, solvers/pose_graph.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libviso_tpu.geometry.se3 import invert_se3, pose_vector_to_matrix
+from libviso_tpu.solvers.pose_graph import (
+    odometry_edges,
+    optimize_pose_graph,
+)
+
+
+def _circle_trajectory(T, radius=20.0):
+    """Ground-truth poses driving a closed circle in the xz plane."""
+    poses = []
+    for k in range(T):
+        th = 2 * np.pi * k / (T - 1)
+        c, s = np.cos(th), np.sin(th)
+        P = np.eye(4)
+        P[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+        P[0, 3] = radius * np.sin(th)
+        P[2, 3] = radius * (1 - np.cos(th))
+        poses.append(P)
+    return jnp.asarray(np.stack(poses), jnp.float32)
+
+
+def test_exact_graph_is_fixed_point(rng):
+    gt = _circle_trajectory(24)
+    i, j, z = odometry_edges(gt)
+    res = optimize_pose_graph(gt, i, j, z, iters=3)
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.poses), np.asarray(gt),
+                               atol=1e-4)
+
+
+def test_loop_closure_removes_drift(rng):
+    T = 24
+    gt = _circle_trajectory(T)
+    # corrupt odometry: small bias on every relative motion -> the chain
+    # drifts and the loop does not close
+    i, j, z = odometry_edges(gt)
+    bias = pose_vector_to_matrix(
+        jnp.asarray([2e-3, 0.0, 0.0, 0.04, 0.0, 0.02], jnp.float32))
+    # bias only the first half of the edges: a constant local-frame bias
+    # applied all the way around a closed loop largely cancels
+    half = (T - 1) // 2
+    z_biased = jnp.einsum("mij,jk->mik", z[:half], bias)
+    z_noisy = jnp.concatenate([z_biased, z[half:]])
+    # integrate the noisy odometry for the drifted initial trajectory
+    drifted = [np.asarray(gt[0])]
+    for k in range(T - 1):
+        drifted.append(drifted[-1] @ np.asarray(z_noisy[k]))
+    drifted = jnp.asarray(np.stack(drifted), jnp.float32)
+    gap0 = float(jnp.linalg.norm(drifted[-1, :3, 3] - gt[-1, :3, 3]))
+    assert gap0 > 0.3  # the drift is real
+
+    # one loop-closure edge: first frame observed again at the end, with
+    # the TRUE relative pose (a verified revisit)
+    z_loop = invert_se3(gt[0])[None] @ gt[-1][None]
+    ei = jnp.concatenate([i, jnp.asarray([0], jnp.int32)])
+    ej = jnp.concatenate([j, jnp.asarray([T - 1], jnp.int32)])
+    ez = jnp.concatenate([z_noisy, z_loop])
+    wts = jnp.concatenate([jnp.ones((T - 1,)), jnp.asarray([50.0])])
+
+    res = optimize_pose_graph(drifted, ei, ej, ez, weights=wts, iters=15)
+    assert bool(res.ok)
+    assert float(res.cost) < float(res.cost0)
+    gap1 = float(jnp.linalg.norm(
+        res.poses[-1, :3, 3] - gt[-1, :3, 3]))
+    # the loop edge pulls the endpoint back onto the start
+    assert gap1 < gap0 * 0.2
