@@ -148,6 +148,17 @@ def _cmd_kitti(args):
         extra["ba_windows"] = len(res.window_costs)
         extra["ba_improved"] = sum(
             1 for (c0, c1, ok) in res.window_costs if ok and c1 < c0)
+    elif args.loop_closure:
+        from libviso_tpu.pipeline.loop import run_with_loop_closure
+
+        res = run_with_loop_closure(list(stream), P1, P2, cfg,
+                                    seed=args.seed, backend=args.backend)
+        stats = [{"frame": t, "ok": bool(res.frame_ok[t])}
+                 for t in range(len(res.poses))]
+        extra["loops"] = [
+            {"new": le.frame_new, "old": le.frame_old,
+             "inliers": le.num_inliers} for le in res.loops]
+        extra["graph_cost"] = list(res.graph_cost)
     else:
         ckpt = None
         if args.checkpoint_every > 0:
@@ -304,6 +315,10 @@ def main(argv=None):
     k.add_argument("--ba-window", type=int, default=0, metavar="W",
                    help="refine with sliding-window bundle adjustment of "
                         "W frames, stride W/2 (0 = off)")
+    k.add_argument("--loop-closure", action="store_true",
+                   help="detect revisits and remove accumulated drift "
+                        "with pose-graph optimization (beyond-reference; "
+                        "docs/architecture.md)")
     k.add_argument("--save-debug", action="store_true",
                    help="write per-frame debug artifacts under "
                         "results/.../dbg (reference param.save_debug)")

@@ -1,0 +1,238 @@
+"""Loop closure: revisit detection + pose-graph drift removal.
+
+Beyond-reference capability (the reference's trajectory is a pure open
+chain, src/viso.cpp:1313-1321; its drift is unbounded).  The design
+reuses the engine's existing batched primitives end to end:
+
+  1. every ``keyframe_every``-th frame, the streaming step's FrameState
+     is summarized to a compact keyframe: the ``keyframe_budget``
+     highest-response corners' descriptors, stereo observations, and
+     triangulated 3D (one small jit, device-side top-k);
+  2. each new keyframe matches against ALL stored keyframes as ONE
+     `match_problem_batch` launch (position gate off — drift makes
+     positions useless across a loop; the appearance ratio test does the
+     work).  Candidates need ``min_matches`` ratio-passing matches and
+     ``min_gap`` frames of separation;
+  3. a candidate is verified by the SAME RANSAC+GN pose solver the
+     per-frame step uses, on the old keyframe's 3D against the new
+     keyframe's stereo observations — a verified revisit yields the
+     relative pose T_new^-1 T_old;
+  4. the sequential VO motions plus every verified loop edge form a pose
+     graph; `solvers/pose_graph.py` redistributes the drift.
+
+Fixed shapes: the keyframe store is a preallocated (max_keyframes, ...)
+slot tensor with a validity mask, so the candidate-matching launch never
+recompiles as the store grows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.geometry.se3 import invert_se3, pose_vector_to_matrix
+from libviso_tpu.solvers.pose_graph import optimize_pose_graph
+from libviso_tpu.solvers.ransac import ransac_pose
+
+
+class LoopEdge(NamedTuple):
+    frame_new: int        # later frame (the revisit)
+    frame_old: int        # earlier frame being re-observed
+    tr: np.ndarray        # (6,) motion old -> new (ransac convention)
+    num_inliers: int
+    num_matches: int
+
+
+@dataclasses.dataclass
+class LoopClosureResult:
+    poses: np.ndarray       # (T, 4, 4) pose-graph-optimized trajectory
+    poses_vo: np.ndarray    # (T, 4, 4) open-chain VO trajectory
+    motions: np.ndarray     # (T, 6) VO motions
+    frame_ok: np.ndarray    # (T,)
+    loops: list             # [LoopEdge]
+    graph_cost: tuple       # (initial, final) pose-graph cost
+
+
+def _build_summarize(cfg: PipelineConfig, calib: Calib, budget: int):
+    """jit: FrameState -> compact keyframe (desc, obs, X, valid)."""
+
+    def summarize(state):
+        # usable slots: detected, stereo-matched, triangulated
+        usable = state.kp1.valid & state.X_valid
+        score = jnp.where(usable, state.kp1.response, -jnp.inf)
+        _, top = jax.lax.top_k(score, budget)
+        valid = jnp.take_along_axis(usable, top, axis=0)
+        desc = state.d1[top]
+        r_safe = jnp.clip(state.match_lr[top], 0,
+                          state.kp2.xy.shape[0] - 1)
+        obs = jnp.concatenate([state.kp1.xy[top],
+                               state.kp2.xy[r_safe]], axis=-1)
+        X = state.X[top]
+        xy = state.kp1.xy[top]
+        return xy, desc, obs, X, valid
+
+    return jax.jit(summarize)
+
+
+def _build_candidate_matcher(cfg: PipelineConfig, max_kf: int,
+                             budget: int, backend: str):
+    """jit: new keyframe vs the whole store as one batched launch."""
+    from libviso_tpu.ops.matching import match_problem_batch
+
+    d = cfg.detector.descriptor_dim_padded
+
+    def match_all(q_xy, q_desc, q_valid, kf_xy, kf_desc, kf_valid):
+        K = max_kf
+        f32 = q_desc.dtype
+        res = match_problem_batch(
+            q_xy=jnp.broadcast_to(q_xy, (K, budget, 2)),
+            q_valid=jnp.broadcast_to(q_valid, (K, budget)),
+            q_d=jnp.broadcast_to(q_desc, (K, budget, d)),
+            t_xy=kf_xy, t_valid=kf_valid, t_d=kf_desc,
+            use_epi=jnp.zeros((K,), bool),
+            use_rat=jnp.ones((K,), bool),
+            ratios=jnp.full((K,), 0.9, f32),
+            radius=1e9,   # drift makes positions meaningless across loops
+            sampson_thresh=1.0, metric=cfg.temporal_match.metric,
+            F=jnp.eye(3, dtype=f32), backend=backend)
+        scores = jnp.sum(res.valid.astype(jnp.int32), axis=1)  # (K,)
+        return res.idx, res.valid, scores
+
+    return jax.jit(match_all)
+
+
+def run_with_loop_closure(frames, P1, P2,
+                          cfg: PipelineConfig = PipelineConfig(),
+                          keyframe_every: int = 5, min_gap: int = 20,
+                          min_matches: int = 60, min_inliers: int = 30,
+                          max_keyframes: int = 128,
+                          keyframe_budget: int = 256,
+                          loop_weight: float = 20.0,
+                          seed: int = 0,
+                          backend: str = "xla") -> LoopClosureResult:
+    """Streaming VO + loop detection + pose-graph optimization.
+
+    Args mirror run_stereo_sequence plus the loop-closure knobs.  Returns
+    both the optimized and the open-chain trajectories so the drift
+    removal is inspectable.
+    """
+    from libviso_tpu.geometry.mvg import F_from_P_host
+    from libviso_tpu.geometry.se3 import chain_motions
+    from libviso_tpu.pipeline.stereo import _jitted_step, empty_state
+
+    calib = Calib.from_projections(P1, P2)
+    F = F_from_P_host(P1, P2)
+    step = _jitted_step(calib, np.ascontiguousarray(F).tobytes(), cfg,
+                        backend, False)
+    summarize = _build_summarize(cfg, calib, keyframe_budget)
+    match_all = _build_candidate_matcher(cfg, max_keyframes,
+                                         keyframe_budget, backend)
+
+    key = jax.random.PRNGKey(seed)
+    state = empty_state(cfg)
+
+    # fixed-shape keyframe store (slot ring; kf_frame[i] = -1 -> empty)
+    d = cfg.detector.descriptor_dim_padded
+    kf_xy = jnp.zeros((max_keyframes, keyframe_budget, 2), jnp.float32)
+    kf_desc = jnp.zeros((max_keyframes, keyframe_budget, d), jnp.float32)
+    kf_obs = np.zeros((max_keyframes, keyframe_budget, 4), np.float32)
+    kf_X = np.zeros((max_keyframes, keyframe_budget, 3), np.float32)
+    kf_valid = jnp.zeros((max_keyframes, keyframe_budget), bool)
+    kf_frames = np.full((max_keyframes,), -1, np.int64)
+    n_kf = 0
+
+    outs = []
+    loops: list = []
+    for t, (im1, im2) in enumerate(frames):
+        state, out = step(state, jnp.asarray(im1), jnp.asarray(im2),
+                          jax.random.fold_in(key, t))
+        outs.append(out)
+        if t % keyframe_every != 0:
+            continue
+
+        xy, desc, obs, X, valid = summarize(state)
+
+        # candidate search against everything currently stored
+        if n_kf > 0:
+            idxs, valids, scores = match_all(xy, desc, valid,
+                                             kf_xy, kf_desc, kf_valid)
+            scores = np.asarray(scores)
+            gaps = t - kf_frames
+            eligible = (kf_frames >= 0) & (gaps >= min_gap)
+            scores = np.where(eligible, scores, -1)
+            best = int(np.argmax(scores))
+            if scores[best] >= min_matches:
+                # verify: old keyframe's 3D against the NEW keyframe's
+                # stereo observations -> motion old -> new
+                m_idx = np.asarray(idxs[best])
+                m_valid = np.asarray(valids[best])
+                safe = np.clip(m_idx, 0, keyframe_budget - 1)
+                Xp = kf_X[best][safe]
+                pts_valid = m_valid & (m_idx >= 0)
+                est = ransac_pose(
+                    jax.random.fold_in(key, 1_000_000 + t),
+                    jnp.asarray(Xp), obs, jnp.asarray(pts_valid),
+                    calib, cfg.ransac)
+                if bool(est.ok) and int(est.num_inliers) >= min_inliers:
+                    loops.append(LoopEdge(
+                        frame_new=t, frame_old=int(kf_frames[best]),
+                        tr=np.asarray(est.tr),
+                        num_inliers=int(est.num_inliers),
+                        num_matches=int(scores[best])))
+
+        # store the new keyframe (ring overwrite when full)
+        slot = n_kf % max_keyframes
+        kf_xy = kf_xy.at[slot].set(xy)
+        kf_desc = kf_desc.at[slot].set(desc)
+        kf_valid = kf_valid.at[slot].set(valid)
+        kf_obs[slot] = np.asarray(obs)
+        kf_X[slot] = np.asarray(X)
+        kf_frames[slot] = t
+        n_kf += 1
+
+    # ---- assemble trajectory + pose graph ----
+    motions = np.stack([np.asarray(o.tr) for o in outs])
+    oks = np.array([bool(o.ok) for o in outs])
+    oks[0] = False
+    Ts = pose_vector_to_matrix(jnp.asarray(motions))
+    poses_vo = np.asarray(chain_motions(Ts, jnp.asarray(oks)))
+
+    T = len(motions)
+    # sequential edges: z_k = T_{k-1}^-1 T_k = inv(M(tr_k)); failed frames
+    # carry tr=0 -> z=I, matching chain_motions
+    ei = np.arange(T - 1, dtype=np.int32)
+    ej = ei + 1
+    z_seq = np.asarray(invert_se3(pose_vector_to_matrix(
+        jnp.asarray(motions[1:]))))
+    w = [np.ones((T - 1,), np.float32)]
+    for le in loops:
+        # est.tr maps old-frame 3D into the new camera: M = T_new^-1 T_old
+        # -> edge (i=new, j=old) with z = M
+        ei = np.concatenate([ei, [le.frame_new]])
+        ej = np.concatenate([ej, [le.frame_old]])
+        z_seq = np.concatenate([
+            z_seq, np.asarray(pose_vector_to_matrix(
+                jnp.asarray(le.tr)))[None]])
+        w.append(np.asarray([loop_weight], np.float32))
+    weights = np.concatenate(w)
+
+    if loops:
+        res = optimize_pose_graph(jnp.asarray(poses_vo),
+                                  jnp.asarray(ei, jnp.int32),
+                                  jnp.asarray(ej, jnp.int32),
+                                  jnp.asarray(z_seq), weights=weights,
+                                  iters=15)
+        poses = np.asarray(res.poses)
+        graph_cost = (float(res.cost0), float(res.cost))
+    else:
+        poses = poses_vo
+        graph_cost = (0.0, 0.0)
+
+    return LoopClosureResult(poses=poses, poses_vo=poses_vo,
+                             motions=motions, frame_ok=oks, loops=loops,
+                             graph_cost=graph_cost)

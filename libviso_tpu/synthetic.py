@@ -90,7 +90,8 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
                       width=620, height=188, speed=0.8,
                       yaw_rate=0.004, patch=7,
                       f=360.0, base=0.54,
-                      subpixel_render=False) -> SyntheticSequence:
+                      subpixel_render=False,
+                      trajectory=None) -> SyntheticSequence:
     """Render a forward-driving stereo sequence over a random landmark field.
 
     Args:
@@ -99,6 +100,10 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
       speed: forward translation per frame [m].
       yaw_rate: per-frame yaw increment [rad] (gentle curve).
       patch: landmark texture size in pixels (odd).
+      trajectory: optional (num_frames, 6) per-frame camera steps in the
+        previous camera frame (overrides speed/yaw_rate — e.g. a closed
+        circle for loop-closure tests); landmarks then scatter over the
+        trajectory's bounding region instead of the forward corridor.
     """
     rng = np.random.default_rng(seed)
     cu, cv = width / 2.0, height / 2.0
@@ -106,12 +111,18 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
     P2 = P1.copy()
     P2[0, 3] = -f * base
 
-    depth_span = speed * num_frames + 40.0
-    Xw = np.stack([
-        rng.uniform(-25, 25, num_points),
-        rng.uniform(-4, 3, num_points),
-        rng.uniform(3.0, depth_span, num_points),
-    ], axis=-1)
+    # RNG consumption order is part of the de-facto data contract
+    # (tests pin trajectories on seeded sequences): the default corridor
+    # samples landmarks FIRST, exactly as it always did; only the
+    # custom-trajectory path defers landmark sampling until the poses
+    # are known.
+    if trajectory is None:
+        depth_span = speed * num_frames + 40.0
+        Xw = np.stack([
+            rng.uniform(-25, 25, num_points),
+            rng.uniform(-4, 3, num_points),
+            rng.uniform(3.0, depth_span, num_points),
+        ], axis=-1)
     patterns = rng.integers(40, 256, size=(num_points, patch, patch)
                             ).astype(np.float32)
 
@@ -121,15 +132,32 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
     # Tr_k = M_k^-1 (points move opposite to the camera in camera coords),
     # and the reference's pose chain pose_k = pose_{k-1} @ Tr_k^-1 then
     # reproduces C_k exactly.
-    cam_steps = np.zeros((num_frames, 6))
-    for k in range(1, num_frames):
-        cam_steps[k] = [0.0, yaw_rate * (1 + 0.2 * np.sin(k / 3.0)), 0.0,
-                        0.02 * np.sin(k / 5.0), 0.0, speed]
+    if trajectory is None:
+        cam_steps = np.zeros((num_frames, 6))
+        for k in range(1, num_frames):
+            cam_steps[k] = [0.0,
+                            yaw_rate * (1 + 0.2 * np.sin(k / 3.0)), 0.0,
+                            0.02 * np.sin(k / 5.0), 0.0, speed]
+    else:
+        cam_steps = np.asarray(trajectory, np.float64)
+        assert cam_steps.shape == (num_frames, 6)
     M = np.asarray(pose_vector_to_matrix(cam_steps))  # (T, 4, 4)
     gt_poses = np.zeros_like(M)
     gt_poses[0] = np.eye(4)
     for k in range(1, num_frames):
         gt_poses[k] = gt_poses[k - 1] @ M[k]
+
+    # Custom trajectories: a box around everywhere the camera goes so
+    # features exist in view on every leg of e.g. a closed loop.
+    if trajectory is not None:
+        pos = gt_poses[:, :3, 3]
+        lo = pos.min(axis=0) - np.array([30.0, 4.0, 30.0])
+        hi = pos.max(axis=0) + np.array([30.0, 3.0, 30.0])
+        Xw = np.stack([
+            rng.uniform(lo[0], hi[0], num_points),
+            rng.uniform(-4, 3, num_points),
+            rng.uniform(lo[2], hi[2], num_points),
+        ], axis=-1)
     from libviso_tpu.geometry.se3 import matrix_to_pose_vector
     motions = np.asarray(matrix_to_pose_vector(np.linalg.inv(M)))
 

@@ -94,3 +94,8 @@ SURFACE = [
 def test_symbol_exists(module, symbol):
     mod = importlib.import_module(module)
     assert hasattr(mod, symbol), f"{module}.{symbol} missing"
+
+
+def test_loop_closure_surface():
+    from libviso_tpu.pipeline.loop import run_with_loop_closure  # noqa
+    from libviso_tpu.solvers.pose_graph import optimize_pose_graph  # noqa
