@@ -149,6 +149,9 @@ def _cmd_kitti(args):
         extra["ba_improved"] = sum(
             1 for (c0, c1, ok) in res.window_costs if ok and c1 < c0)
     elif args.loop_closure:
+        if args.save_debug or args.checkpoint_every > 0:
+            sys.exit("--loop-closure supports neither --save-debug nor "
+                     "--checkpoint-every yet; drop those flags")
         from libviso_tpu.pipeline.loop import run_with_loop_closure
 
         res = run_with_loop_closure(list(stream), P1, P2, cfg,

@@ -36,7 +36,10 @@ import numpy as np
 
 from libviso_tpu.config import Calib, PipelineConfig
 from libviso_tpu.geometry.se3 import invert_se3, pose_vector_to_matrix
-from libviso_tpu.solvers.pose_graph import optimize_pose_graph
+from libviso_tpu.solvers.pose_graph import (
+    optimize_pose_graph,
+    reanchor_segments,
+)
 from libviso_tpu.solvers.ransac import ransac_pose
 
 
@@ -58,7 +61,7 @@ class LoopClosureResult:
     graph_cost: tuple       # (initial, final) pose-graph cost
 
 
-def _build_summarize(cfg: PipelineConfig, calib: Calib, budget: int):
+def _build_summarize(budget: int):
     """jit: FrameState -> compact keyframe (desc, obs, X, valid)."""
 
     def summarize(state):
@@ -96,7 +99,7 @@ def _build_candidate_matcher(cfg: PipelineConfig, max_kf: int,
             t_xy=kf_xy, t_valid=kf_valid, t_d=kf_desc,
             use_epi=jnp.zeros((K,), bool),
             use_rat=jnp.ones((K,), bool),
-            ratios=jnp.full((K,), 0.9, f32),
+            ratios=jnp.full((K,), cfg.temporal_match.ratio, f32),
             radius=1e9,   # drift makes positions meaningless across loops
             sampson_thresh=1.0, metric=cfg.temporal_match.metric,
             F=jnp.eye(3, dtype=f32), backend=backend)
@@ -129,7 +132,7 @@ def run_with_loop_closure(frames, P1, P2,
     F = F_from_P_host(P1, P2)
     step = _jitted_step(calib, np.ascontiguousarray(F).tobytes(), cfg,
                         backend, False)
-    summarize = _build_summarize(cfg, calib, keyframe_budget)
+    summarize = _build_summarize(keyframe_budget)
     match_all = _build_candidate_matcher(cfg, max_keyframes,
                                          keyframe_budget, backend)
 
@@ -140,7 +143,6 @@ def run_with_loop_closure(frames, P1, P2,
     d = cfg.detector.descriptor_dim_padded
     kf_xy = jnp.zeros((max_keyframes, keyframe_budget, 2), jnp.float32)
     kf_desc = jnp.zeros((max_keyframes, keyframe_budget, d), jnp.float32)
-    kf_obs = np.zeros((max_keyframes, keyframe_budget, 4), np.float32)
     kf_X = np.zeros((max_keyframes, keyframe_budget, 3), np.float32)
     kf_valid = jnp.zeros((max_keyframes, keyframe_budget), bool)
     kf_frames = np.full((max_keyframes,), -1, np.int64)
@@ -190,12 +192,18 @@ def run_with_loop_closure(frames, P1, P2,
         kf_xy = kf_xy.at[slot].set(xy)
         kf_desc = kf_desc.at[slot].set(desc)
         kf_valid = kf_valid.at[slot].set(valid)
-        kf_obs[slot] = np.asarray(obs)
         kf_X[slot] = np.asarray(X)
         kf_frames[slot] = t
         n_kf += 1
 
     # ---- assemble trajectory + pose graph ----
+    if not outs:
+        empty6 = np.zeros((0, 6), np.float32)
+        empty44 = np.zeros((0, 4, 4), np.float32)
+        return LoopClosureResult(poses=empty44, poses_vo=empty44,
+                                 motions=empty6,
+                                 frame_ok=np.zeros((0,), bool), loops=[],
+                                 graph_cost=(0.0, 0.0))
     motions = np.stack([np.asarray(o.tr) for o in outs])
     oks = np.array([bool(o.ok) for o in outs])
     oks[0] = False
@@ -203,31 +211,46 @@ def run_with_loop_closure(frames, P1, P2,
     poses_vo = np.asarray(chain_motions(Ts, jnp.asarray(oks)))
 
     T = len(motions)
-    # sequential edges: z_k = T_{k-1}^-1 T_k = inv(M(tr_k)); failed frames
-    # carry tr=0 -> z=I, matching chain_motions
-    ei = np.arange(T - 1, dtype=np.int32)
-    ej = ei + 1
-    z_seq = np.asarray(invert_se3(pose_vector_to_matrix(
-        jnp.asarray(motions[1:]))))
-    w = [np.ones((T - 1,), np.float32)]
-    for le in loops:
-        # est.tr maps old-frame 3D into the new camera: M = T_new^-1 T_old
-        # -> edge (i=new, j=old) with z = M
-        ei = np.concatenate([ei, [le.frame_new]])
-        ej = np.concatenate([ej, [le.frame_old]])
-        z_seq = np.concatenate([
-            z_seq, np.asarray(pose_vector_to_matrix(
-                jnp.asarray(le.tr)))[None]])
-        w.append(np.asarray([loop_weight], np.float32))
-    weights = np.concatenate(w)
-
     if loops:
-        res = optimize_pose_graph(jnp.asarray(poses_vo),
+        # The graph is built over NODES (keyframe times + endpoints), not
+        # raw frames: a dense jacfwd + Cholesky over 6T parameters is
+        # only trivial at a few hundred nodes, and loop edges connect
+        # keyframes anyway.  Sequential node edges take their z from the
+        # chained VO trajectory (failed frames contribute identity, as in
+        # chain_motions); frames between nodes re-anchor to their
+        # segment's optimized node afterwards.
+        node_frames = sorted({0, T - 1}
+                             | {int(f) for f in kf_frames if f >= 0}
+                             | {le.frame_new for le in loops}
+                             | {le.frame_old for le in loops})
+        node_frames = np.asarray(node_frames, np.int64)
+        node_of = {int(f): k for k, f in enumerate(node_frames)}
+        K = len(node_frames)
+        P_nodes = poses_vo[node_frames]
+        ei = np.arange(K - 1, dtype=np.int32)
+        ej = ei + 1
+        z_seq = np.asarray(invert_se3(jnp.asarray(P_nodes[:-1]))
+                           @ jnp.asarray(P_nodes[1:]))
+        w = [np.ones((K - 1,), np.float32)]
+        for le in loops:
+            # est.tr maps old-frame 3D into the new camera:
+            # M = T_new^-1 T_old -> edge (i=new, j=old) with z = M
+            ei = np.concatenate([ei, [node_of[le.frame_new]]])
+            ej = np.concatenate([ej, [node_of[le.frame_old]]])
+            z_seq = np.concatenate([
+                z_seq, np.asarray(pose_vector_to_matrix(
+                    jnp.asarray(le.tr)))[None]])
+            w.append(np.asarray([loop_weight], np.float32))
+        weights = np.concatenate(w)
+
+        res = optimize_pose_graph(jnp.asarray(P_nodes),
                                   jnp.asarray(ei, jnp.int32),
                                   jnp.asarray(ej, jnp.int32),
                                   jnp.asarray(z_seq), weights=weights,
                                   iters=15)
-        poses = np.asarray(res.poses)
+        poses = np.asarray(reanchor_segments(
+            jnp.asarray(poses_vo), jnp.asarray(node_frames, jnp.int32),
+            res.poses))
         graph_cost = (float(res.cost0), float(res.cost))
     else:
         poses = poses_vo

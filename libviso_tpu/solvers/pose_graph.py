@@ -9,17 +9,21 @@ minimizes the weighted residual over ALL edges simultaneously:
 
     r_ij = vec( inv(Z_ij) @ inv(T_i) @ T_j )          (6-dof per edge)
 
-TPU-first shape: all edges evaluate as one batched gather + matmul
-(no per-edge loop), the Jacobian of the full residual vector comes from
-``jax.jacfwd`` (exact, no hand-derived adjoints), and the normal
-equations solve densely — a (6T, 6T) Cholesky is trivial MXU work for
-the ≤ few-hundred-keyframe graphs VO produces.  Gauge freedom is fixed
-by freezing pose 0.
+Parameterization: per-node DELTA poses, ``T_i = T0_i @ M(xi_i)`` with
+``xi`` starting at zero.  Drift corrections are small, so every ``xi``
+stays near the identity throughout the solve — the Euler-XYZ coordinates
+(shared with the rest of the engine, geometry/se3.py) are then far from
+gimbal lock no matter what absolute headings the trajectory visits (a
+closed loop necessarily passes +-90 deg, where an absolute-Euler
+parameterization degenerates).
 
-The residual is parameterized with the same Euler-XYZ 6-vectors as the
-rest of the engine (geometry/se3.py): for the SMALL residuals of a
-near-consistent graph, Euler and twist coordinates agree to first order,
-which is all Gauss-Newton needs.
+TPU-first shape: all edges evaluate as one batched gather + matmul, the
+Jacobian of the full residual vector comes from ``jax.jacfwd`` (exact,
+no hand-derived adjoints), and the normal equations solve densely with
+Levenberg-Marquardt scaling — a (6T, 6T) Cholesky is trivial MXU work at
+the ≤ few-hundred-NODE graphs pipeline/loop.py builds (it optimizes over
+keyframe nodes, not raw frames, and re-anchors the in-between frames
+afterwards).  Gauge freedom is fixed by freezing node 0's delta at zero.
 """
 
 from __future__ import annotations
@@ -43,22 +47,12 @@ class PoseGraphResult(NamedTuple):
     ok: jax.Array         # () bool — solve stayed finite and reduced cost
 
 
-def _edge_residuals(x, edges_i, edges_j, z_inv):
-    """(M, 6) residual vectors for all edges at parameter x (T, 6)."""
-    T = pose_vector_to_matrix(x)                      # (T, 4, 4)
-    Ti_inv = invert_se3(T[edges_i])                   # (M, 4, 4)
-    Tj = T[edges_j]
-    rel = jnp.einsum("mij,mjk,mkl->mil", z_inv, Ti_inv, Tj,
-                     precision="highest")
-    return matrix_to_pose_vector(rel)                 # (M, 6)
-
-
 def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
-                        iters: int = 10, damping: float = 1e-6):
-    """Gauss-Newton over the pose graph.
+                        iters: int = 10, damping: float = 1e-4):
+    """Gauss-Newton (LM-damped) over the pose graph.
 
     Args:
-      poses: (T, 4, 4) initial absolute poses (pose 0 is the gauge and
+      poses: (T, 4, 4) initial absolute poses (node 0 is the gauge and
         stays fixed).
       edges_i, edges_j: (M,) int32 endpoint indices per constraint.
       z: (M, 4, 4) measured relative poses, ``T_i^-1 T_j ~= z``.
@@ -66,26 +60,34 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
         down/up-weighted against odometry edges).
       iters: Gauss-Newton iterations (each is one linearize + dense
         (6T, 6T) Cholesky solve).
+      damping: Levenberg-Marquardt factor on diag(H) — scale-aware, so
+        meter-scale translations and radian-scale rotations are both
+        regularized proportionally.
 
     Returns PoseGraphResult.  Fixed shapes throughout; jit-compatible.
     """
-    poses = jnp.asarray(poses)
-    Tn = poses.shape[0]
+    T0 = jnp.asarray(poses)
+    Tn = T0.shape[0]
     edges_i = jnp.asarray(edges_i, jnp.int32)
     edges_j = jnp.asarray(edges_j, jnp.int32)
     z_inv = invert_se3(jnp.asarray(z))
     M = edges_i.shape[0]
     if weights is None:
-        weights = jnp.ones((M,), poses.dtype)
-    w = jnp.sqrt(jnp.asarray(weights, poses.dtype))[:, None]  # (M, 1)
+        weights = jnp.ones((M,), T0.dtype)
+    w = jnp.sqrt(jnp.asarray(weights, T0.dtype))[:, None]  # (M, 1)
 
-    x0 = matrix_to_pose_vector(poses)                 # (T, 6)
+    def apply_delta(xf):
+        xi = xf.reshape(Tn, 6)
+        xi = xi.at[0].set(0.0)            # gauge: node 0 pinned
+        return jnp.einsum("tij,tjk->tik", T0, pose_vector_to_matrix(xi),
+                          precision="highest")
 
     def flat_res(xf):
-        x = xf.reshape(Tn, 6)
-        # gauge: pose 0 pinned to its initial value
-        x = x.at[0].set(x0[0])
-        return (w * _edge_residuals(x, edges_i, edges_j, z_inv)).reshape(-1)
+        T = apply_delta(xf)
+        rel = jnp.einsum("mij,mjk,mkl->mil", z_inv,
+                         invert_se3(T[edges_i]), T[edges_j],
+                         precision="highest")
+        return (w * matrix_to_pose_vector(rel)).reshape(-1)
 
     def cost_of(xf):
         r = flat_res(xf)
@@ -97,7 +99,10 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
         r = flat_res(xf)                              # (6M,)
         J = jac(xf)                                   # (6M, 6T)
         A = J.T @ r
-        H = J.T @ J + damping * jnp.eye(6 * Tn, dtype=xf.dtype)
+        H = J.T @ J
+        # LM scaling: damp relative to each parameter's own curvature
+        H = H + damping * jnp.diag(jnp.diag(H)) \
+            + 1e-8 * jnp.eye(6 * Tn, dtype=xf.dtype)
         step = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(H), A)
         x_new = xf - step
@@ -106,15 +111,14 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
                   & (cost_of(x_new) <= cost_of(xf)))
         return jnp.where(better, x_new, xf), None
 
-    xf0 = x0.reshape(-1)
+    xf0 = jnp.zeros((6 * Tn,), T0.dtype)
     cost0 = cost_of(xf0)
     xf, _ = jax.lax.scan(gn_step, xf0, None, length=iters)
     cost = cost_of(xf)
 
-    x = xf.reshape(Tn, 6).at[0].set(x0[0])
-    out = pose_vector_to_matrix(x)
+    out = apply_delta(xf)
     ok = jnp.isfinite(cost) & (cost <= cost0)
-    out = jnp.where(ok, out, poses)
+    out = jnp.where(ok, out, T0)
     return PoseGraphResult(poses=out, cost0=cost0, cost=cost, ok=ok)
 
 
@@ -126,3 +130,32 @@ def odometry_edges(poses):
     z = jnp.einsum("mij,mjk->mik", invert_se3(poses[:-1]), poses[1:],
                    precision="highest")
     return i, j, z
+
+
+def reanchor_segments(poses_full, node_frames, node_poses_opt):
+    """Propagate optimized NODE poses to every frame in between.
+
+    Frames in segment [node_k, node_{k+1}) keep their original relative
+    motion to node_k: ``T_f' = P_k' @ inv(P_k) @ T_f``.  Frames past the
+    last node anchor to it.
+
+    Args:
+      poses_full: (T, 4, 4) original trajectory.
+      node_frames: (K,) increasing frame indices of the graph nodes.
+      node_poses_opt: (K, 4, 4) optimized node poses.
+
+    Returns (T, 4, 4).
+    """
+    poses_full = jnp.asarray(poses_full)
+    node_frames = jnp.asarray(node_frames, jnp.int32)
+    Tn = poses_full.shape[0]
+    # segment index of every frame: number of nodes at-or-before it, -1
+    seg = jnp.clip(
+        jnp.searchsorted(node_frames, jnp.arange(Tn), side="right") - 1,
+        0, node_frames.shape[0] - 1)
+    anchor_old = poses_full[node_frames[seg]]          # (T, 4, 4)
+    anchor_new = jnp.asarray(node_poses_opt)[seg]
+    fix = jnp.einsum("tij,tjk->tik", anchor_new, invert_se3(anchor_old),
+                     precision="highest")
+    return jnp.einsum("tij,tjk->tik", fix, poses_full,
+                      precision="highest")

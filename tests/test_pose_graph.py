@@ -72,3 +72,20 @@ def test_loop_closure_removes_drift(rng):
         res.poses[-1, :3, 3] - gt[-1, :3, 3]))
     # the loop edge pulls the endpoint back onto the start
     assert gap1 < gap0 * 0.2
+
+
+def test_reanchor_segments_propagates_between_nodes(rng):
+    from libviso_tpu.solvers.pose_graph import reanchor_segments
+
+    gt = _circle_trajectory(12)
+    nodes = jnp.asarray([0, 4, 8, 11], jnp.int32)
+    # identity correction: re-anchoring with unchanged node poses is a no-op
+    out = reanchor_segments(gt, nodes, gt[np.asarray(nodes)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gt), atol=1e-5)
+    # shift node 1's pose by +1m in x: frames 4..7 shift with it, 0..3 not
+    shifted = jnp.asarray(np.asarray(gt[np.asarray(nodes)]))
+    shifted = shifted.at[1, 0, 3].add(1.0)
+    out = np.asarray(reanchor_segments(gt, nodes, shifted))
+    np.testing.assert_allclose(out[0, 0, 3], np.asarray(gt)[0, 0, 3],
+                               atol=1e-5)
+    assert abs(out[5, 0, 3] - np.asarray(gt)[5, 0, 3] - 1.0) < 1e-4
