@@ -225,8 +225,43 @@ def _cmd_mono(args):
 
     Reads a 3x3 K from a text file (3 rows of 3 floats, or a KITTI-style
     P0 row of which the left 3x3 is used) and a printf-style image mask.
+    Honors the reference's ``CBT_HOME`` contract (src/calib_sfm.cpp:56-64):
+    with the env var set and no explicit flags, the calib is
+    ``$CBT_HOME/calib.txt`` and images are ``$CBT_HOME/img-%04d.jpg``
+    starting at frame 1 — exactly the reference's defaults.
     """
+    import dataclasses
+
+    from libviso_tpu.config import MonoConfig
     from libviso_tpu.pipeline.mono import run_mono_sequence
+
+    cbt_home = os.environ.get("CBT_HOME")
+    if args.image_mask is None:
+        if not cbt_home:
+            sys.exit("either --image-mask or CBT_HOME must be set "
+                     "(reference contract, src/calib_sfm.cpp:56)")
+        args.image_mask = os.path.join(cbt_home, "img-%04d.jpg")
+        if args.begin == 0:
+            args.begin = 1  # MonoImageGenerator starts at 1 (calib_sfm.cpp:64)
+    if args.calib is None:
+        if not cbt_home:
+            sys.exit("either --calib or CBT_HOME must be set")
+        args.calib = os.path.join(cbt_home, "calib.txt")
+
+    mono = MonoConfig()
+    overrides = {}
+    if args.sampson_thresh is not None:
+        overrides["sampson_thresh"] = args.sampson_thresh
+    if args.min_good is not None:
+        overrides["min_good"] = args.min_good
+    if args.rematch_ratio is not None:
+        overrides["rematch_ratio"] = args.rematch_ratio
+    if args.hypotheses is not None:
+        overrides["num_hypotheses"] = args.hypotheses
+    if args.no_scale:
+        overrides["scale_propagation"] = False
+    overrides["method"] = args.method
+    mono = dataclasses.replace(mono, **overrides)
 
     vals = np.loadtxt(args.calib, dtype=np.float64)
     if vals.size == 12:
@@ -247,8 +282,7 @@ def _cmd_mono(args):
             i += 1
 
     t0 = time.perf_counter()
-    res = run_mono_sequence(frames(), K, seed=args.seed,
-                            method=args.method)
+    res = run_mono_sequence(frames(), K, seed=args.seed, mono=mono)
     dt = time.perf_counter() - t0
     if args.out:
         from libviso_tpu.io.kitti import save_poses_kitti
@@ -259,7 +293,10 @@ def _cmd_mono(args):
         "solved": int(res.frame_ok.sum()),
         "fps": n / dt if dt else None,
         "poses": args.out,
-        "note": "monocular poses are scale-ambiguous (unit-norm steps)",
+        "note": ("monocular poses are correct up to one global scale "
+                 "(relative scale propagated through shared landmarks)"
+                 if mono.scale_propagation else
+                 "monocular poses are scale-ambiguous (unit-norm steps)"),
     }))
 
 
@@ -282,10 +319,13 @@ def _cmd_eval(args):
     terr, rerr = rpe_errors(est, gt, delta=args.delta)
     out = {
         "frames": n,
-        "ate_rmse_m": ate_rmse(est, gt),
+        "ate_rmse_m": ate_rmse(est, gt, align=args.align),
         "rpe_trans_mean_m": float(terr.mean()),
         "rpe_rot_mean_rad": float(rerr.mean()),
     }
+    if args.align != "none":
+        out["align"] = args.align
+        out["ate_rmse_raw_m"] = ate_rmse(est, gt)
     out.update(kitti_trajectory_errors(est, gt))
     if args.plot:
         from libviso_tpu.utils.debug_viz import save_trajectory
@@ -336,9 +376,11 @@ def main(argv=None):
     s.set_defaults(fn=_cmd_synth)
 
     m = sub.add_parser("mono", help="monocular SfM (calib_sfm.cpp analog)")
-    m.add_argument("--image-mask", required=True,
-                   help="printf-style mask, e.g. img-%%04d.jpg")
-    m.add_argument("--calib", required=True, help="3x3 K text file")
+    m.add_argument("--image-mask", default=None,
+                   help="printf-style mask, e.g. img-%%04d.jpg (default: "
+                        "$CBT_HOME/img-%%04d.jpg, the reference contract)")
+    m.add_argument("--calib", default=None,
+                   help="3x3 K text file (default: $CBT_HOME/calib.txt)")
     m.add_argument("--begin", type=int, default=0)
     m.add_argument("--end", type=int, default=None)
     m.add_argument("--out", help="KITTI-format pose output path")
@@ -346,6 +388,21 @@ def main(argv=None):
     m.add_argument("--method", default="5pt", choices=["5pt", "8pt"],
                    help="essential-matrix minimal solver (5pt = reference "
                         "findEssentialMat parity)")
+    m.add_argument("--sampson-thresh", type=float, default=None,
+                   help="RANSAC Sampson gate in normalized coords "
+                        "(default MonoConfig.sampson_thresh = 2e-5)")
+    m.add_argument("--min-good", type=int, default=None,
+                   help="cheirality gate: min points in front of both "
+                        "cameras (default 10)")
+    m.add_argument("--rematch-ratio", type=float, default=None,
+                   help="Lowe ratio for the epipolar re-match (default .9, "
+                        "src/viso.cpp:1386-1390)")
+    m.add_argument("--hypotheses", type=int, default=None,
+                   help="RANSAC sample count (default: 64 for 5pt, 128 "
+                        "for 8pt)")
+    m.add_argument("--no-scale", action="store_true",
+                   help="disable relative-scale propagation (unit-norm "
+                        "steps, the constant-speed assumption)")
     m.set_defaults(fn=_cmd_mono)
 
     e = sub.add_parser("eval", help="ATE/RPE + KITTI devkit-style errors "
@@ -353,6 +410,10 @@ def main(argv=None):
     e.add_argument("est", help="estimated poses (KITTI 3x4 rows)")
     e.add_argument("gt", help="ground-truth poses (KITTI 3x4 rows)")
     e.add_argument("--delta", type=int, default=1, help="RPE frame gap")
+    e.add_argument("--align", default="none", choices=["none", "se3", "sim3"],
+                   help="pre-align est to gt before ATE: se3 = Horn rigid "
+                        "alignment (devkit-comparable), sim3 = also solve "
+                        "scale (monocular trajectories)")
     e.add_argument("--plot", help="write a top-down trajectory PNG here")
     e.set_defaults(fn=_cmd_eval)
 

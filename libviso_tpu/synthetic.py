@@ -29,6 +29,10 @@ class SyntheticSequence:
     gt_motions: np.ndarray     # (T, 6) prev->current motion vectors
     P1: np.ndarray             # (3, 4)
     P2: np.ndarray             # (3, 4)
+    # per frame: (num_points, 4) columns [ul, vl, ur, vis] — exact float
+    # left/right projections + visibility, the oracle for detector
+    # localization tests (vr == vl on rectified pairs)
+    gt_projections: List[np.ndarray] = None
 
 
 def kitti_projections(f=718.856, cu=607.1928, cv=185.2157, base=0.5371657,
@@ -91,6 +95,7 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
                       yaw_rate=0.004, patch=7,
                       f=360.0, base=0.54,
                       subpixel_render=False,
+                      pattern_smooth=0.0,
                       trajectory=None) -> SyntheticSequence:
     """Render a forward-driving stereo sequence over a random landmark field.
 
@@ -100,6 +105,14 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
       speed: forward translation per frame [m].
       yaw_rate: per-frame yaw increment [rad] (gentle curve).
       patch: landmark texture size in pixels (odd).
+      pattern_smooth: Gaussian sigma (px) applied to the random texture
+        patches.  Raw patterns are white noise — all their energy at
+        Nyquist — so any subpixel resample decorrelates them, which no
+        real image does (optics + sampling band-limit real texture).
+        ~1.0 with ``subpixel_render=True`` is the realistic regime:
+        descriptors stay stable across subpixel phases and the detector's
+        quadratic refinement can actually recover the fractional
+        position.  0 keeps the legacy sharp patterns.
       trajectory: optional (num_frames, 6) per-frame camera steps in the
         previous camera frame (overrides speed/yaw_rate — e.g. a closed
         circle for loop-closure tests); landmarks then scatter over the
@@ -125,6 +138,17 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
         ], axis=-1)
     patterns = rng.integers(40, 256, size=(num_points, patch, patch)
                             ).astype(np.float32)
+    if pattern_smooth > 0:
+        from scipy.ndimage import gaussian_filter
+
+        patterns = gaussian_filter(
+            patterns, sigma=(0.0, pattern_smooth, pattern_smooth),
+            mode="nearest")
+        # restore per-pattern contrast lost to the low-pass (Harris
+        # responses and descriptor SNR stay comparable to the sharp case)
+        lo = patterns.min(axis=(1, 2), keepdims=True)
+        hi = patterns.max(axis=(1, 2), keepdims=True)
+        patterns = 40.0 + (patterns - lo) / np.maximum(hi - lo, 1e-6) * 215.0
 
     # Trajectory: per-frame camera motion M_k expressed in the previous
     # camera frame (forward +z with a gentle yaw).  World-from-camera poses
@@ -162,6 +186,7 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
     motions = np.asarray(matrix_to_pose_vector(np.linalg.inv(M)))
 
     frames = []
+    gt_projections = []
     for k in range(num_frames):
         W = np.linalg.inv(gt_poses[k])  # camera-from-world
         Xc = Xw @ W[:3, :3].T + W[:3, 3]
@@ -186,6 +211,9 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
                 _stamp(im1, x1, y1, patterns[i])
                 _stamp(im2, x2, y1, patterns[i])
         frames.append((np.clip(im1, 0, 255), np.clip(im2, 0, 255)))
+        gt_projections.append(
+            np.stack([ul, vl, ur, vis.astype(np.float64)], axis=-1))
 
     return SyntheticSequence(frames=frames, gt_poses=gt_poses,
-                             gt_motions=motions, P1=P1, P2=P2)
+                             gt_motions=motions, P1=P1, P2=P2,
+                             gt_projections=gt_projections)

@@ -16,16 +16,55 @@ from typing import IO, Optional
 import numpy as np
 
 
-def ate_rmse(poses_est, poses_gt) -> float:
+def align_trajectory(est_t, gt_t, with_scale: bool = False):
+    """Umeyama/Horn closed-form alignment of trajectory translations.
+
+    Finds (s, R, t) minimizing ``sum ||gt_i - (s R est_i + t)||^2`` over
+    rigid motions (``with_scale=False``, SE(3)) or similarities
+    (``with_scale=True``, Sim(3) — the right gauge for monocular
+    trajectories, whose global scale is unobservable).
+
+    Returns (s, R, t) with R (3,3), t (3,).
+    """
+    est = np.asarray(est_t, np.float64)
+    gt = np.asarray(gt_t, np.float64)
+    mu_e = est.mean(axis=0)
+    mu_g = gt.mean(axis=0)
+    ec = est - mu_e
+    gc = gt - mu_g
+    C = gc.T @ ec / len(est)
+    U, D, Vt = np.linalg.svd(C)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_e = np.mean(np.sum(ec * ec, axis=-1))
+        s = float(np.trace(np.diag(D) @ S) / var_e) if var_e > 0 else 1.0
+    else:
+        s = 1.0
+    t = mu_g - s * R @ mu_e
+    return s, R, t
+
+
+def ate_rmse(poses_est, poses_gt, align: str = "none") -> float:
     """Absolute trajectory error: RMSE of translation differences.
 
-    Both trajectories must share the origin convention (frame 0 identity) —
-    no alignment is applied, matching how the reference's output would be
-    compared against KITTI ground truth.
+    ``align='none'`` (default) compares raw translations under the
+    shared-origin convention (frame 0 identity) — matching how the
+    reference's output would be compared against KITTI ground truth.
+    ``align='se3'`` applies closed-form Horn/Umeyama SE(3) alignment
+    first (devkit-comparable on real data); ``align='sim3'`` also solves
+    the scale — the right gauge for monocular trajectories.
     """
     est = np.asarray(poses_est)[:, :3, 3]
     gt = np.asarray(poses_gt)[:, :3, 3]
     assert est.shape == gt.shape, (est.shape, gt.shape)
+    if align not in ("none", "se3", "sim3"):
+        raise ValueError(f"align must be none|se3|sim3, got {align!r}")
+    if align != "none":
+        s, R, t = align_trajectory(est, gt, with_scale=(align == "sim3"))
+        est = s * est @ R.T + t
     return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=-1))))
 
 

@@ -1,5 +1,7 @@
 """End-to-end monocular pipeline on synthetic data (BASELINE config 2)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -31,6 +33,54 @@ def mono_run():
 def test_mono_solves_frames(mono_run):
     seq, result = mono_run
     assert result.frame_ok[1:].all(), result.stats
+
+
+def test_mono_scale_propagation_variable_speed():
+    """VERDICT r1 #3: a variable-speed sequence must be recovered up to ONE
+    global scale (<5% relative drift), not per-step unit norms."""
+    T = 10
+    speeds_gt = np.array([0.0, 0.8, 0.5, 1.1, 0.7, 1.2, 0.6, 1.0, 0.9,
+                          1.15])
+    traj = np.zeros((T, 6))
+    traj[:, 5] = speeds_gt                       # forward steps, varying
+    traj[1:, 1] = 0.004                          # gentle yaw
+    # realistic rendering regime: band-limited texture at true subpixel
+    # positions (real optics never snap image content to integer pixels)
+    # and moderate landmark density — heavily overlapping stamps give
+    # non-rigid corner drift that corrupts the scale evidence
+    seq = generate_sequence(num_frames=T, num_points=400, seed=21,
+                            width=620, height=188, patch=9,
+                            subpixel_render=True, pattern_smooth=1.0,
+                            trajectory=traj)
+    K = seq.P1[:, :3]
+    cfg = mono_config()
+    cfg = dataclasses.replace(
+        cfg, detector=dataclasses.replace(cfg.detector, subpixel=True))
+    res = run_mono_sequence([f[0] for f in seq.frames], K, cfg, seed=0)
+    assert res.frame_ok[1:].all(), res.stats
+    # per-step translation norms vs ground truth, up to one global scale
+    est = res.speeds[1:]
+    gt = speeds_gt[1:]
+    ratio = est / gt
+    drift = np.abs(ratio / ratio[0] - 1.0)
+    assert drift.max() < 0.05, (ratio, drift)
+    # scale evidence must actually flow (not the constant-speed fallback)
+    assert all(s["scale_support"] >= 12 for s in res.stats[2:]), res.stats
+
+
+def test_mono_scale_propagation_off_is_unit_norm():
+    from libviso_tpu.config import MonoConfig
+
+    seq = generate_sequence(num_frames=5, num_points=600, seed=13,
+                            width=416, height=160, speed=0.6,
+                            yaw_rate=0.01)
+    K = seq.P1[:, :3]
+    res = run_mono_sequence([f[0] for f in seq.frames], K, mono_config(),
+                            seed=0,
+                            mono=MonoConfig(scale_propagation=False))
+    for k in range(1, 5):
+        d = np.linalg.inv(res.poses[k - 1]) @ res.poses[k]
+        assert np.linalg.norm(d[:3, 3]) == pytest.approx(1.0, abs=1e-5)
 
 
 def test_mono_direction_accuracy(mono_run):
