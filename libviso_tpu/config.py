@@ -188,6 +188,13 @@ class RansacConfig:
     converge_thresh: float = 1e-4
     min_inliers: int = 6
     model_size: int = 3
+    # Levenberg-Marquardt ridge on the GN normal equations, relative to
+    # diag(JtJ).  0 (default) = plain GN, exact reference parity
+    # (viso.cpp:1599-1606).  Loop-closure verification sets ~1e-3: its
+    # support sets can be small and spatially clustered, where the
+    # unregularized 6x6 system is near-singular along the weakly observed
+    # translation direction and plain GN walks off to km-scale poses.
+    gn_lm_lambda: float = 0.0
 
     def __post_init__(self):
         if self.hypothesis_method not in ("gn", "procrustes"):

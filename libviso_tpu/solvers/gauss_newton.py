@@ -169,6 +169,11 @@ def gauss_newton(X, observe, weights, tr0, calib: Calib,
         Jm = J * wmask[..., None, None]
         A = jnp.einsum("...nri,...nrj->...ij", Jm, J, precision="highest")
         b = jnp.einsum("...nri,...nr->...i", Jm, r, precision="highest")
+        if cfg.gn_lm_lambda > 0.0:
+            # scale-aware LM ridge (see RansacConfig.gn_lm_lambda)
+            diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+            A = A + cfg.gn_lm_lambda * diag[..., None] \
+                * jnp.eye(6, dtype=A.dtype)
         step, ok = _solve_spd6(A, b)
         tr_new = tr + step
         converged = jnp.max(jnp.abs(step), axis=-1) <= cfg.converge_thresh

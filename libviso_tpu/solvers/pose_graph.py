@@ -45,11 +45,30 @@ class PoseGraphResult(NamedTuple):
     cost0: jax.Array      # () initial weighted squared residual
     cost: jax.Array       # () final
     ok: jax.Array         # () bool — solve stayed finite and reduced cost
+    edge_scale: jax.Array  # (M,) final robust IRLS scaling per edge
+    #   (1 everywhere when robust='none'; a rejected outlier edge ends
+    #   near 0 — callers can report which loop closures were disbelieved)
 
 
 def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
-                        iters: int = 10, damping: float = 1e-4):
+                        iters: int = 10, damping: float = 1e-4,
+                        robust: str = "cauchy", robust_mask=None,
+                        robust_delta: float = 0.05):
     """Gauss-Newton (LM-damped) over the pose graph.
+
+    Robustness (VERDICT r1 next #4a): under a plain squared loss ONE
+    false loop edge — an aliased revisit that passed geometric
+    verification — poisons the whole graph: the optimum splits the bogus
+    constraint's error across every node.  Edges selected by
+    ``robust_mask`` (typically the loop edges; odometry edges are
+    trusted) therefore pass through a robust kernel, implemented as
+    IRLS: each Gauss-Newton iteration scales the edge's weight by
+    ``k(|r|)/|r|^2``-style attenuation computed from the CURRENT
+    residual, so a grossly inconsistent edge sees its influence decay
+    toward zero over the iterations while consistent edges keep ~unit
+    scale (their residuals sit far below ``robust_delta``).  Cauchy
+    (default) redescends — gross outliers are effectively switched off,
+    the switchable-constraints behavior — while 'huber' only caps them.
 
     Args:
       poses: (T, 4, 4) initial absolute poses (node 0 is the gauge and
@@ -63,6 +82,17 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
       damping: Levenberg-Marquardt factor on diag(H) — scale-aware, so
         meter-scale translations and radian-scale rotations are both
         regularized proportionally.
+      robust: 'cauchy' | 'huber' | 'none' — kernel applied to the edges
+        selected by ``robust_mask``.
+      robust_mask: optional (M,) bool; True = edge goes through the
+        robust kernel.  None = ALL edges (safe default: a consistent
+        edge's residual stays well under ``robust_delta``, where every
+        kernel is quadratic, so the solve matches 'none' on clean
+        graphs).
+      robust_delta: kernel knee on the 6-dof residual norm (weighted
+        units: meters + radians mixed).  Consistent post-optimization
+        edges sit at ~1e-3; a false edge's residual is the loop error
+        itself, orders of magnitude above.
 
     Returns PoseGraphResult.  Fixed shapes throughout; jit-compatible.
     """
@@ -75,6 +105,14 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
     if weights is None:
         weights = jnp.ones((M,), T0.dtype)
     w = jnp.sqrt(jnp.asarray(weights, T0.dtype))[:, None]  # (M, 1)
+    if robust_mask is None:
+        rmask = jnp.ones((M,), bool)
+    else:
+        rmask = jnp.asarray(robust_mask, bool)
+    if robust == "none":
+        rmask = jnp.zeros((M,), bool)
+    elif robust not in ("cauchy", "huber"):
+        raise ValueError(f"unknown robust kernel {robust!r}")
 
     def apply_delta(xf):
         xi = xf.reshape(Tn, 6)
@@ -82,22 +120,45 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
         return jnp.einsum("tij,tjk->tik", T0, pose_vector_to_matrix(xi),
                           precision="highest")
 
-    def flat_res(xf):
+    def edge_res(xf):
+        """(M, 6) weighted per-edge residuals."""
         T = apply_delta(xf)
         rel = jnp.einsum("mij,mjk,mkl->mil", z_inv,
                          invert_se3(T[edges_i]), T[edges_j],
                          precision="highest")
-        return (w * matrix_to_pose_vector(rel)).reshape(-1)
+        return w * matrix_to_pose_vector(rel)
 
-    def cost_of(xf):
-        r = flat_res(xf)
+    def irls_scale(r6):
+        """(M,) sqrt IRLS weight from each edge's current residual norm.
+
+        Derived from the kernel's influence function: GN on
+        ``sqrt(w_irls) * r`` with w_irls = rho'(s)/s, s = |r|^2.
+        """
+        s = jnp.sum(r6 * r6, axis=-1)
+        d2 = robust_delta * robust_delta
+        if robust == "huber":
+            # rho = s for s <= d2 else 2 d sqrt(s) - d2
+            wr = jnp.minimum(1.0, jnp.sqrt(d2 / jnp.maximum(s, 1e-18)))
+        else:  # cauchy: rho = d2 log(1 + s/d2)
+            wr = 1.0 / (1.0 + s / d2)
+        return jnp.where(rmask, jnp.sqrt(wr), 1.0)
+
+    def cost_of(xf, sc):
+        r = (sc[:, None] * edge_res(xf)).reshape(-1)
         return jnp.sum(r * r)
 
-    jac = jax.jacfwd(flat_res)
-
     def gn_step(xf, _):
+        # IRLS: freeze the robust scaling at the current residuals, take
+        # one damped GN step on the reweighted quadratic, guard by the
+        # SAME frozen weights (a step must not be judged across a weight
+        # change).
+        sc = irls_scale(edge_res(xf))
+
+        def flat_res(x):
+            return (sc[:, None] * edge_res(x)).reshape(-1)
+
         r = flat_res(xf)                              # (6M,)
-        J = jac(xf)                                   # (6M, 6T)
+        J = jax.jacfwd(flat_res)(xf)                  # (6M, 6T)
         A = J.T @ r
         H = J.T @ J
         # LM scaling: damp relative to each parameter's own curvature
@@ -107,19 +168,25 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
             jax.scipy.linalg.cho_factor(H), A)
         x_new = xf - step
         # keep the update only while it stays finite and non-increasing
-        better = (jnp.isfinite(cost_of(x_new))
-                  & (cost_of(x_new) <= cost_of(xf)))
+        better = (jnp.isfinite(cost_of(x_new, sc))
+                  & (cost_of(x_new, sc) <= cost_of(xf, sc)))
         return jnp.where(better, x_new, xf), None
 
     xf0 = jnp.zeros((6 * Tn,), T0.dtype)
-    cost0 = cost_of(xf0)
+    sc0 = irls_scale(edge_res(xf0))
+    cost0 = cost_of(xf0, sc0)
     xf, _ = jax.lax.scan(gn_step, xf0, None, length=iters)
-    cost = cost_of(xf)
+    sc = irls_scale(edge_res(xf))
+    cost = cost_of(xf, sc)
 
     out = apply_delta(xf)
+    # acceptance compares the ROBUST costs: with redescending kernels the
+    # final cost is evaluated under the final (frozen) scaling, which can
+    # only shrink edge influence, so cost <= cost0 remains the right test
     ok = jnp.isfinite(cost) & (cost <= cost0)
     out = jnp.where(ok, out, T0)
-    return PoseGraphResult(poses=out, cost0=cost0, cost=cost, ok=ok)
+    return PoseGraphResult(poses=out, cost0=cost0, cost=cost, ok=ok,
+                           edge_scale=sc * sc)
 
 
 def odometry_edges(poses):

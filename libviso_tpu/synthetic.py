@@ -22,6 +22,84 @@ import numpy as np
 from libviso_tpu.geometry.se3 import pose_vector_to_matrix
 
 
+@dataclasses.dataclass(frozen=True)
+class Imaging:
+    """Post-render imaging/scene perturbation model (VERDICT r1 next #2).
+
+    The clean renderer is an idealized oracle; real sequences (the
+    reference's operating domain, src/kitti.cpp:79-118) add exposure
+    variation, sensor noise, optical blur, and independently moving
+    occluders.  This model applies those effects AFTER geometry-true
+    rendering, so ground-truth poses stay exact while the image evidence
+    degrades realistically.  All randomness comes from a stream separate
+    from the scene RNG: `generate_sequence(seed=s)` renders bit-identical
+    geometry with and without perturbations.
+
+    Pipeline (per frame, in order): occluders -> blur -> gain/bias ->
+    sensor noise -> clip [0, 255] -> optional uint8 quantization.
+    """
+
+    # Per-frame multiplicative exposure random walk: log-gain steps drawn
+    # N(0, exposure_drift).  ~0.05 is a gentle auto-exposure hunt; 0.15 is
+    # aggressive (sun in/out of clouds).
+    exposure_drift: float = 0.0
+    # Left-vs-right gain mismatch: each frame the RIGHT view's log-gain is
+    # offset by N(0, lr_gain_mismatch) on top of the shared exposure —
+    # unbalanced stereo sensors, the worst case for L/R matching.
+    lr_gain_mismatch: float = 0.0
+    # Additive per-frame bias (black-level) random walk, DN units.
+    bias_drift: float = 0.0
+    # Additive white Gaussian sensor noise, DN stddev (KITTI-ish ~2-4).
+    noise_sigma: float = 0.0
+    # Gaussian optical blur sigma in pixels (defocus / motion smear).
+    blur_sigma: float = 0.0
+    # Independently moving textured rectangles painted over the scene in
+    # both views at a fixed near-object disparity.  They occlude landmarks
+    # AND sprout corners whose temporal motion violates ego-motion — the
+    # synthetic stand-in for dynamic objects (cars, pedestrians) that
+    # RANSAC must reject.
+    num_occluders: int = 0
+    occluder_size: int = 28
+    # Occluder lateral speed, px/frame (drawn U(-v, v) per occluder).
+    occluder_speed: float = 6.0
+    # Quantize to the uint8 grid (real sensors do; the clean oracle keeps
+    # float to isolate detector-precision tests from quantization).
+    quantize: bool = False
+
+
+def _gaussian_blur(img, sigma):
+    from scipy.ndimage import gaussian_filter
+
+    return gaussian_filter(img, sigma=sigma, mode="nearest")
+
+
+class _OccluderField:
+    """A set of textured rectangles with per-sequence constant velocity."""
+
+    def __init__(self, rng, n, size, speed, width, height):
+        self.size = size
+        self.tex = rng.integers(30, 226, size=(n, size, size)
+                                ).astype(np.float32)
+        self.pos0 = np.stack([rng.uniform(0, width, n),
+                              rng.uniform(0, height, n)], axis=-1)
+        ang = rng.uniform(0, 2 * np.pi, n)
+        spd = rng.uniform(0.3 * speed, speed, n)
+        self.vel = np.stack([np.cos(ang) * spd, 0.15 * np.sin(ang) * spd],
+                            axis=-1)
+        # near-object disparity in px (between the closest landmarks and
+        # the camera): right-view copy shifts left by this amount
+        self.disp = rng.uniform(20.0, 45.0, n)
+
+    def paint(self, im1, im2, k):
+        h, w = im1.shape
+        for i in range(len(self.tex)):
+            x = (self.pos0[i, 0] + k * self.vel[i, 0]) % (w + self.size)
+            y = (self.pos0[i, 1] + k * self.vel[i, 1]) % h
+            _stamp(im1, int(round(x)), int(round(y)), self.tex[i])
+            _stamp(im2, int(round(x - self.disp[i])), int(round(y)),
+                   self.tex[i])
+
+
 @dataclasses.dataclass
 class SyntheticSequence:
     frames: List[Tuple[np.ndarray, np.ndarray]]  # (left, right) per frame
@@ -96,7 +174,11 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
                       f=360.0, base=0.54,
                       subpixel_render=False,
                       pattern_smooth=0.0,
-                      trajectory=None) -> SyntheticSequence:
+                      trajectory=None,
+                      imaging: Imaging | None = None,
+                      num_patterns=0,
+                      pattern_type="noise",
+                      field_margin=(30.0, 4.0, 30.0)) -> SyntheticSequence:
     """Render a forward-driving stereo sequence over a random landmark field.
 
     Args:
@@ -117,6 +199,21 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
         previous camera frame (overrides speed/yaw_rate — e.g. a closed
         circle for loop-closure tests); landmarks then scatter over the
         trajectory's bounding region instead of the forward corridor.
+      imaging: optional `Imaging` perturbation model applied after
+        rendering (exposure drift, sensor noise, blur, occluders, ...).
+        Drawn from a SEPARATE rng stream: the same ``seed`` renders
+        bit-identical geometry with and without perturbations.  Note
+        `gt_projections` describes the pre-occlusion scene.
+      num_patterns: if > 0, draw only this many DISTINCT texture patches
+        and cycle them across landmarks — repetitive texture (building
+        facades, road markings) that produces aliased descriptor matches
+        the gates must reject.  0 = every landmark unique (legacy).
+      field_margin: (x, y, z) expansion of the landmark box around a
+        CUSTOM trajectory's bounding region.  Narrow margins concentrate
+        the field near the path — e.g. opposite-heading revisit tests
+        need landmark density inside the small frustum-intersection
+        region, not spread over a 60 m apron.  Ignored for the default
+        forward corridor.
     """
     rng = np.random.default_rng(seed)
     cu, cv = width / 2.0, height / 2.0
@@ -136,8 +233,66 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
             rng.uniform(-4, 3, num_points),
             rng.uniform(3.0, depth_span, num_points),
         ], axis=-1)
-    patterns = rng.integers(40, 256, size=(num_points, patch, patch)
-                            ).astype(np.float32)
+    if num_patterns and num_patterns < num_points:
+        # repetitive texture: few distinct patches cycled over landmarks.
+        # Drawn from the imaging stream so legacy seeds stay untouched.
+        prng = np.random.default_rng((seed, 0xC0FFEE))
+        bank = prng.integers(40, 256, size=(num_patterns, patch, patch)
+                             ).astype(np.float32)
+        patterns = bank[np.arange(num_points) % num_patterns]
+    elif pattern_type == "corner":
+        # "physical corner" landmarks: four quadrants of distinct random
+        # intensities meeting at the patch CENTER, plus low-amplitude
+        # noise for per-landmark uniqueness.  Unlike white-noise patches
+        # (whose Harris maxima land anywhere in the patch and differ
+        # per view), these give every landmark ONE dominant, centered,
+        # view-repeatable corner whose descriptor window stays inside
+        # the patch — the synthetic analog of object corners that real
+        # detectors re-fire on across revisits.  Drawn from a separate
+        # stream so legacy seeds stay untouched.
+        prng = np.random.default_rng((seed, 0xC04E4))
+        h = patch // 2
+        # ONE bright quadrant whose inner corner sits at the patch
+        # center — an L-corner, the structure Harris is built for.  (An
+        # X-junction checkerboard was tried first and fails subtly: the
+        # sign-reversing gradients across the junction partially cancel
+        # inside the Sobel aperture, so the junction scores BELOW the
+        # incidental rim corners and each view locks onto a different
+        # maximum.)  Random orientation (which quadrant is bright) and
+        # intensity make landmarks distinguishable; noise adds texture.
+        v1 = prng.uniform(140.0, 245.0, num_points)
+        quad = prng.integers(0, 4, num_points)
+        ind = np.zeros((num_points, patch, patch), np.float32)
+        sl = [(slice(None, h + 1), slice(None, h + 1)),
+              (slice(None, h + 1), slice(h, None)),
+              (slice(h, None), slice(None, h + 1)),
+              (slice(h, None), slice(h, None))]
+        for k in range(4):
+            rows, cols = sl[k]
+            ind[quad == k, rows, cols] = 1.0
+        # Modulate by a radial Gaussian so edge CONTRAST peaks at the
+        # central corner and decays outward with NO outer rim.  (Two
+        # earlier designs failed measurably: an X-junction checkerboard
+        # — sign-reversing gradients cancel inside the Sobel aperture,
+        # rim corners outscore the junction — and any hard/feathered
+        # outline, whose rim out-responds the center so each view locks
+        # onto a DIFFERENT incidental maximum.)
+        c = patch // 2
+        yy, xx = np.mgrid[0:patch, 0:patch]
+        g = np.exp(-((yy - c) ** 2 + (xx - c) ** 2) / (2.0 * 2.5 ** 2))
+        tex = ind * (v1[:, None, None] - 16.0) \
+            + prng.normal(0.0, 25.0, ind.shape)
+        patterns = (16.0 + tex * g[None].astype(np.float32)
+                    ).astype(np.float32)
+        # mild band-limit for subpixel-phase-stable responses (no
+        # contrast renorm — it would resurrect the rim)
+        from scipy.ndimage import gaussian_filter
+
+        patterns = gaussian_filter(patterns, sigma=(0.0, 0.8, 0.8),
+                                   mode="nearest")
+    else:
+        patterns = rng.integers(40, 256, size=(num_points, patch, patch)
+                                ).astype(np.float32)
     if pattern_smooth > 0:
         from scipy.ndimage import gaussian_filter
 
@@ -175,8 +330,9 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
     # features exist in view on every leg of e.g. a closed loop.
     if trajectory is not None:
         pos = gt_poses[:, :3, 3]
-        lo = pos.min(axis=0) - np.array([30.0, 4.0, 30.0])
-        hi = pos.max(axis=0) + np.array([30.0, 3.0, 30.0])
+        mx, my, mz = field_margin
+        lo = pos.min(axis=0) - np.array([mx, my, mz])
+        hi = pos.max(axis=0) + np.array([mx, my - 1.0, mz])
         Xw = np.stack([
             rng.uniform(lo[0], hi[0], num_points),
             rng.uniform(-4, 3, num_points),
@@ -184,6 +340,41 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
         ], axis=-1)
     from libviso_tpu.geometry.se3 import matrix_to_pose_vector
     motions = np.asarray(matrix_to_pose_vector(np.linalg.inv(M)))
+
+    img = imaging or Imaging()
+    irng = np.random.default_rng((seed, 0xD1CE))  # imaging-only stream
+    occl = (_OccluderField(irng, img.num_occluders, img.occluder_size,
+                           img.occluder_speed, width, height)
+            if img.num_occluders else None)
+    # exposure/bias random walks (shared across views) + per-frame L/R
+    # gain mismatch; frame 0 starts at nominal
+    log_gain = np.cumsum(
+        np.concatenate([[0.0], irng.normal(0, img.exposure_drift,
+                                           num_frames - 1)]))
+    bias = np.cumsum(
+        np.concatenate([[0.0], irng.normal(0, img.bias_drift,
+                                           num_frames - 1)]))
+    lr_dgain = irng.normal(0, img.lr_gain_mismatch, num_frames)
+
+    def _apply_imaging(im1, im2, k):
+        if occl is not None:
+            occl.paint(im1, im2, k)
+        if img.blur_sigma > 0:
+            im1 = _gaussian_blur(im1, img.blur_sigma)
+            im2 = _gaussian_blur(im2, img.blur_sigma)
+        g1 = np.exp(log_gain[k])
+        g2 = np.exp(log_gain[k] + lr_dgain[k])
+        im1 = g1 * im1 + bias[k]
+        im2 = g2 * im2 + bias[k]
+        if img.noise_sigma > 0:
+            im1 = im1 + irng.normal(0, img.noise_sigma, im1.shape)
+            im2 = im2 + irng.normal(0, img.noise_sigma, im2.shape)
+        im1 = np.clip(im1, 0, 255).astype(np.float32)
+        im2 = np.clip(im2, 0, 255).astype(np.float32)
+        if img.quantize:
+            im1 = np.round(im1)
+            im2 = np.round(im2)
+        return im1, im2
 
     frames = []
     gt_projections = []
@@ -210,7 +401,10 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
                 x2 = int(round(ur[i]))
                 _stamp(im1, x1, y1, patterns[i])
                 _stamp(im2, x2, y1, patterns[i])
-        frames.append((np.clip(im1, 0, 255), np.clip(im2, 0, 255)))
+        im1, im2 = np.clip(im1, 0, 255), np.clip(im2, 0, 255)
+        if imaging is not None:
+            im1, im2 = _apply_imaging(im1, im2, k)
+        frames.append((im1, im2))
         gt_projections.append(
             np.stack([ul, vl, ur, vis.astype(np.float64)], axis=-1))
 

@@ -1,0 +1,103 @@
+"""Trajectory-equivalence battery: MXU ``l2`` matcher vs reference ``l1``.
+
+VERDICT r1 next #1: the ``l2`` descriptor metric rides the MXU (matmul
+identity) at ~1.5x the frame rate of the reference-parity VPU ``l1`` path
+(docs/performance.md), but round 1 shipped it off-by-default with one
+loose 2.5x ATE bound.  This battery is the evidence gate for flipping the
+default: >=12 sequences spanning seeds, sensor-noise levels, landmark
+densities, low-texture and repetitive-texture regimes, and exposure
+drift, each asserting a TIGHT trajectory bound — the l2 trajectory must
+land in the same accuracy regime as l1 (within 35% relative or 3 cm
+absolute, far below the inter-seed spread), every frame must still
+solve, and the battery-wide median ATE ratio must be ~1.
+
+The metrics genuinely differ per-match (L1 and L2 nearest neighbors
+disagree on a few percent of slots), so equivalence is statistical at the
+TRAJECTORY level — exactly the level the framework's output contract
+(poses) cares about.  Reference metric: NORM_L1, src/viso.cpp:989-992.
+"""
+
+import numpy as np
+import pytest
+
+from libviso_tpu.config import DetectorConfig, PipelineConfig, RansacConfig
+from libviso_tpu.pipeline.stereo import run_stereo_sequence
+from libviso_tpu.synthetic import Imaging, generate_sequence
+from libviso_tpu.utils.metrics import ate_rmse, rpe_errors
+
+# One image/slot geometry for the whole battery: a single compile per
+# metric serves every regime (the scenes vary, the graphs don't).
+SHAPE = dict(width=416, height=160, num_frames=8, patch=9,
+             subpixel_render=True, pattern_smooth=1.0)
+
+CFG = PipelineConfig(
+    detector=DetectorConfig(max_features=360, nbinx=10, nbiny=4,
+                            num_slots=384, subpixel=True),
+    ransac=RansacConfig(num_hypotheses=32),
+)
+
+# regime name -> (generate_sequence overrides, seed)
+BATTERY = {
+    "seed0": (dict(num_points=400), 0),
+    "seed1": (dict(num_points=400), 1),
+    "seed2": (dict(num_points=400), 2),
+    "seed3": (dict(num_points=400), 3),
+    "noise3-a": (dict(num_points=400, imaging=Imaging(noise_sigma=3.0)), 4),
+    "noise3-b": (dict(num_points=400, imaging=Imaging(noise_sigma=3.0)), 5),
+    "noise6": (dict(num_points=400, imaging=Imaging(noise_sigma=6.0)), 6),
+    "sparse": (dict(num_points=160), 7),
+    "dense": (dict(num_points=800), 8),
+    "low-texture": (dict(num_points=400, pattern_smooth=1.6), 9),
+    "repetitive": (dict(num_points=400, num_patterns=16), 10),
+    "exposure": (dict(num_points=400,
+                      imaging=Imaging(exposure_drift=0.10,
+                                      lr_gain_mismatch=0.05)), 11),
+    "quantized": (dict(num_points=400,
+                       imaging=Imaging(quantize=True, noise_sigma=2.0)), 12),
+}
+
+
+@pytest.fixture(scope="module")
+def battery_results():
+    """Run every regime under both metrics once; tests assert on slices."""
+    out = {}
+    cfg_l2 = CFG.with_metric("l2")
+    for name, (kw, seed) in BATTERY.items():
+        shape = dict(SHAPE)
+        shape.update(kw)
+        seq = generate_sequence(seed=seed + 40, **shape)
+        r1 = run_stereo_sequence(seq.frames, seq.P1, seq.P2, CFG, seed=0)
+        r2 = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg_l2, seed=0)
+        out[name] = (seq, r1, r2)
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list(BATTERY))
+def test_l2_matches_l1_trajectory(battery_results, name):
+    seq, r1, r2 = battery_results[name]
+    assert r1.frame_ok[1:].all(), (name, "l1 failed frames")
+    assert r2.frame_ok[1:].all(), (name, "l2 failed frames")
+    a1 = ate_rmse(r1.poses, seq.gt_poses)
+    a2 = ate_rmse(r2.poses, seq.gt_poses)
+    # tight bound: same accuracy regime (vs round 1's loose 2.5x)
+    assert a2 <= max(1.35 * a1, 0.03), (name, a1, a2)
+    t1, _ = rpe_errors(r1.poses, seq.gt_poses)
+    t2, _ = rpe_errors(r2.poses, seq.gt_poses)
+    assert t2.mean() <= max(1.5 * t1.mean(), 0.01), (name, t1.mean(),
+                                                     t2.mean())
+
+
+@pytest.mark.slow
+def test_l2_battery_aggregate(battery_results):
+    """Across the battery the two metrics must be statistically
+    indistinguishable: median ATE ratio within 10% of 1, and l2 must not
+    lose to l1 everywhere (sign test)."""
+    ratios = []
+    for name, (seq, r1, r2) in battery_results.items():
+        a1 = ate_rmse(r1.poses, seq.gt_poses)
+        a2 = ate_rmse(r2.poses, seq.gt_poses)
+        ratios.append(a2 / max(a1, 1e-9))
+    med = float(np.median(ratios))
+    assert med <= 1.10, (med, ratios)
+    assert (np.asarray(ratios) < 1.0).sum() >= 3, ratios
