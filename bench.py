@@ -18,8 +18,8 @@ end-to-end-including-transfer number.
 
 Flags:
   --upload         batched mode, host->device transfer included
-  --metric=l1|l2   descriptor metric (default l1 = reference parity;
-                   l2 rides the MXU)
+  --metric=l1|l2   descriptor metric (default l2 = MXU fast path;
+                   l1 = strict reference parity on the VPU)
   --backend=xla|pallas   L1 inner-loop implementation
   --hyp=gn|procrustes    RANSAC hypothesis estimator (config default =
                    procrustes: closed-form Kabsch init + short polish,
@@ -66,7 +66,7 @@ def main():
     from libviso_tpu.pipeline.stereo import build_frame_step, empty_state
     from libviso_tpu.synthetic import generate_sequence
 
-    metric = _flag("metric", "l1")
+    metric = _flag("metric", "l2")
     backend = _flag("backend", "xla")
     hyp = _flag("hyp", None)
     window = int(_flag("window", "8"))

@@ -30,10 +30,10 @@ def _add_cfg_flags(parser):
     """Pipeline-tuning flags shared by the kitti and synth subcommands."""
     parser.add_argument(
         "--metric", default=None, choices=["l1", "l2"],
-        help="descriptor distance: l1 = reference parity (NORM_L1, "
-             "src/viso.cpp:989, the config default); l2 rides the MXU "
-             "~100x cheaper with near-identical matches "
-             "(docs/performance.md)")
+        help="descriptor distance: l2 (the config default) rides the "
+             "MXU ~100x cheaper with trajectory-equivalent matches "
+             "(tests/test_matcher_equivalence.py); l1 = strict "
+             "reference parity (NORM_L1, src/viso.cpp:989)")
     parser.add_argument(
         "--hyp", default=None, choices=["gn", "procrustes"],
         help="RANSAC hypothesis estimator: procrustes = closed-form "
@@ -118,10 +118,6 @@ def _cmd_kitti(args):
     extra = {}
     t0 = time.perf_counter()
     if args.ba_window > 0:
-        if args.save_debug:
-            sys.exit("--ba-window does not support --save-debug (the "
-                     "windowed-BA driver has no debug hooks); drop the "
-                     "flag or run without --ba-window")
         # sliding-window BA mode (BASELINE config 4): needs random access
         # over the window, so frames are staged in memory
         from libviso_tpu.pipeline.windowed import run_windowed_ba
@@ -141,6 +137,11 @@ def _cmd_kitti(args):
                               stride=max(args.ba_window // 2, 1),
                               seed=args.seed, backend=args.backend,
                               checkpoint=ba_ckpt,
+                              outlier_px=args.ba_outlier_px,
+                              rerank_px=args.ba_rerank_px,
+                              prior_strength=args.ba_prior,
+                              dbg_dir=(os.path.join(result_dir, "dbg")
+                                       if args.save_debug else None),
                               fingerprint_scope=(f"{args.seq}:{args.begin}"
                                                  f":{args.end}"))
         stats = [{"frame": t, "ok": bool(res.frame_ok[t])}
@@ -358,6 +359,17 @@ def main(argv=None):
     k.add_argument("--ba-window", type=int, default=0, metavar="W",
                    help="refine with sliding-window bundle adjustment of "
                         "W frames, stride W/2 (0 = off)")
+    k.add_argument("--ba-prior", type=float, default=1.0,
+                   help="cross-window marginalization-prior strength: "
+                        "each window's overlap motions are anchored at "
+                        "the previous window's refined estimates "
+                        "(0 = independent windows, round-1 behavior)")
+    k.add_argument("--ba-outlier-px", type=float, default=30.0,
+                   help="BA stage-1 observation gate on initial "
+                        "reprojection error [px]")
+    k.add_argument("--ba-rerank-px", type=float, default=2.0,
+                   help="BA stage-2 re-gate on coarse-solution "
+                        "residuals [px]")
     k.add_argument("--loop-closure", action="store_true",
                    help="detect revisits and remove accumulated drift "
                         "with pose-graph optimization (beyond-reference; "

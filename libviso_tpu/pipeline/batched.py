@@ -45,6 +45,8 @@ class TrackData(NamedTuple):
 
     kp1_xy: jax.Array      # (T, N, 2)
     kp2_xy: jax.Array      # (T, N, 2)
+    kp1_valid: jax.Array   # (T, N)
+    kp2_valid: jax.Array   # (T, N)
     mlr_idx: jax.Array     # (T, N)
     mlr_valid: jax.Array   # (T, N)
     m11_idx: jax.Array     # (T-1, N) frame t+1 -> t left matches
@@ -146,6 +148,7 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
         if with_tracks:
             tracks = TrackData(
                 kp1_xy=kp1.xy, kp2_xy=kp2.xy,
+                kp1_valid=kp1.valid, kp2_valid=kp2.valid,
                 mlr_idx=mlr.idx, mlr_valid=mlr.valid,
                 m11_idx=m11.idx, m11_valid=m11.valid,
                 circ_valid=circ.valid,

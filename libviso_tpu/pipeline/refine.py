@@ -111,9 +111,35 @@ def build_window_problem(kp1_xy, kp2_xy, mlr_idx, mlr_valid, m11_idx,
     return WindowProblem(poses0=poses0, X0=X_tri[0], obs=obs, mask=mask)
 
 
+def motion_prior_poses(motions, prior_motions, prior_count):
+    """Compose a (W, 6) absolute-pose prior from overlap motions.
+
+    ``prior_motions[1:prior_count]`` are the PREVIOUS window's refined
+    relative motions for this window's overlap prefix (this window's
+    frame 0 is the gauge, so absolute prior poses compose from the
+    prefix alone); frames beyond the prefix fall back to the current
+    VO-composed poses (their prior weight is zero anyway, but the BA
+    cost term must stay finite and parameterization-consistent).
+    """
+    W = motions.shape[0]
+    use = jnp.where((jnp.arange(W) < prior_count)[:, None],
+                    prior_motions, motions)
+    Ts = pose_vector_to_matrix(use)
+
+    def compose(carry, T):
+        nxt = T @ carry
+        return nxt, nxt
+
+    eye = jnp.eye(4, dtype=motions.dtype)
+    _, rest = jax.lax.scan(compose, eye, Ts[1:])
+    return matrix_to_pose_vector(
+        jnp.concatenate([eye[None], rest], axis=0))
+
+
 def refine_window_motions(problem: WindowProblem, calib: Calib,
                           iters=8, damping=1e-3, min_obs=10,
-                          outlier_px=30.0, rerank_px=2.0):
+                          outlier_px=30.0, rerank_px=2.0,
+                          pose_prior=None, prior_weight=None):
     """Run BA on a window and convert refined poses back to per-frame
     motions.  Returns (motions (W, 6), cost_before, cost_after, ok).
 
@@ -123,6 +149,10 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
          ``outlier_px`` (gross track mismatches), run a coarse BA;
       2. re-gate at ``rerank_px`` using the coarse solution's residuals
          (now trustworthy), run the final BA.
+
+    ``pose_prior``/``prior_weight`` ((W, 6) each) carry the previous
+    overlapping window's information into this solve (VERDICT r1 #5) —
+    see solvers/bundle_adjust.py; both BA stages apply them.
     """
     from libviso_tpu.solvers.bundle_adjust import _project_all
 
@@ -133,19 +163,23 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
     err2 = jnp.sum((problem.obs - predict) ** 2, axis=-1)
     mask = mask & (err2 < outlier_px**2)
     coarse = bundle_adjust(problem.poses0, problem.X0, problem.obs, mask,
-                           calib, iters=iters, damping=damping)
+                           calib, iters=iters, damping=damping,
+                           pose_prior=pose_prior,
+                           prior_weight=prior_weight)
     predict2, _ = _project_all(coarse.poses, coarse.landmarks, calib)
     err2b = jnp.sum((problem.obs - predict2) ** 2, axis=-1)
     mask2 = mask & (err2b < rerank_px**2)
     keep2 = jnp.sum(mask2, axis=0) >= 2
     mask2 = mask2 & keep2[None]
     res = bundle_adjust(coarse.poses, coarse.landmarks, problem.obs, mask2,
-                        calib, iters=iters, damping=damping)
+                        calib, iters=iters, damping=damping,
+                        pose_prior=pose_prior, prior_weight=prior_weight)
     # report before/after on the same (final) mask so they are comparable
     from libviso_tpu.solvers.bundle_adjust import ba_cost
 
     res = res._replace(initial_cost=ba_cost(problem.poses0, problem.X0,
-                                            problem.obs, mask2, calib))
+                                            problem.obs, mask2, calib,
+                                            pose_prior, prior_weight))
     mask = mask2
     poses_mat = pose_vector_to_matrix(res.poses)
     rel = poses_mat[1:] @ jnp.linalg.inv(poses_mat[:-1])
@@ -153,4 +187,10 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
         [jnp.zeros((1, 6), res.poses.dtype), matrix_to_pose_vector(rel)])
     enough = jnp.sum(mask) >= min_obs
     ok = enough & (res.cost <= res.initial_cost)
-    return motions, res.initial_cost, res.cost, ok
+    # per-camera surviving observation count: a camera whose tracks were
+    # mostly gated away is weakly constrained INSIDE the BA even when the
+    # window as a whole converged — its refined motion can be meters off
+    # while the window cost drops (measured; the caller must fall back
+    # to the VO motion for such frames)
+    cam_obs = jnp.sum(mask, axis=1)
+    return motions, res.initial_cost, res.cost, ok, cam_obs

@@ -36,23 +36,84 @@ import functools
 
 @functools.lru_cache(maxsize=8)
 def _jitted_fns(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
-                backend: str, ba_iters: int):
+                backend: str, ba_iters: int, outlier_px: float,
+                rerank_px: float):
     """jit the three per-window programs ONCE per configuration.
 
     run_windowed_ba may be called repeatedly (multi-sequence runs, tests);
     fresh jax.jit closures per call would recompile the full front-end
     every time (~20 s on the tunneled chip)."""
+    from libviso_tpu.pipeline.refine import motion_prior_poses
+
     F = np.frombuffer(f_bytes, np.float64).reshape(3, 3)
     n_slots = cfg.detector.num_slots
     fn = jax.jit(build_batched_odometry(calib, F, cfg, backend=backend,
                                         with_tracks=True))
-    refine = jax.jit(lambda prob: refine_window_motions(prob, calib,
-                                                        iters=ba_iters))
+
+    def _refine(prob, vo_motions, prior_motions, prior_count, prior_w6):
+        # prior poses compose from the overlap-prefix motions (current
+        # VO motions fill the suffix, whose weight is zero); prior_count
+        # is traced, so ONE compile serves every overlap length
+        # including the no-prior case 0
+        Wn = prob.poses0.shape[0]
+        pose_prior = motion_prior_poses(vo_motions, prior_motions,
+                                        prior_count)
+        in_prefix = (jnp.arange(Wn) < prior_count).astype(
+            prob.poses0.dtype)
+        weight = in_prefix[:, None] * prior_w6[None, :]
+        return refine_window_motions(prob, calib, iters=ba_iters,
+                                     outlier_px=outlier_px,
+                                     rerank_px=rerank_px,
+                                     pose_prior=pose_prior,
+                                     prior_weight=weight)
+
+    refine = jax.jit(_refine)
     build = jax.jit(lambda tr, motions: build_window_problem(
         tr.kp1_xy, tr.kp2_xy, tr.mlr_idx, tr.mlr_valid,
         tr.m11_idx, tr.m11_valid, tr.X, motions, n_slots,
         circ_valid=tr.circ_valid))
     return fn, build, refine
+
+
+def _dump_window_debug(dbg_dir, frames, s, lo, e, tracks):
+    """Per-frame debug artifacts for the frames a window contributes.
+
+    The windowed driver's analog of the streaming DebugDumper (C17):
+    corners in both views, the stereo match blend, and the temporal
+    stacked-match view, from the batched front-end's TrackData.  Local
+    indices [lo, e-s) map to frames [s+lo, e) — overlap frames were
+    already dumped by the previous window.
+    """
+    import os
+
+    from libviso_tpu.utils import debug_viz as dv
+
+    os.makedirs(dbg_dir, exist_ok=True)
+    kp1 = np.asarray(tracks.kp1_xy)
+    kp2 = np.asarray(tracks.kp2_xy)
+    v1 = np.asarray(tracks.kp1_valid)
+    v2 = np.asarray(tracks.kp2_valid)
+    mlr_i = np.asarray(tracks.mlr_idx)
+    mlr_v = np.asarray(tracks.mlr_valid)
+    m11_i = np.asarray(tracks.m11_idx)
+    m11_v = np.asarray(tracks.m11_valid)
+    p = lambda name: os.path.join(dbg_dir, name)
+    for li in range(lo, e - s):
+        t = s + li
+        im1 = np.asarray(frames[t][0])
+        im2 = np.asarray(frames[t][1])
+        dv.save_corners(im1, kp1[li], p(f"corners1_{t:03d}.jpg"),
+                        valid=v1[li])
+        dv.save_corners(im2, kp2[li], p(f"corners2_{t:03d}.jpg"),
+                        valid=v2[li])
+        dv.save_match_blend(im1, im2, kp1[li], kp2[li],
+                            np.where(mlr_v[li], mlr_i[li], -1),
+                            p(f"blend12_{t:03d}.jpg"))
+        if li > 0:
+            dv.save_stacked_matches(
+                im1, np.asarray(frames[t - 1][0]), kp1[li], kp1[li - 1],
+                np.where(m11_v[li - 1], m11_i[li - 1], -1),
+                p(f"temporal_{t:03d}.jpg"))
 
 
 @dataclasses.dataclass
@@ -70,7 +131,11 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
                     window: int = 8, stride: int = 4, ba_iters: int = 10,
                     seed: int = 0, backend: str = "xla",
                     checkpoint=None,
-                    fingerprint_scope: str = "") -> WindowedResult:
+                    fingerprint_scope: str = "",
+                    outlier_px: float = 30.0, rerank_px: float = 2.0,
+                    prior_strength: float = 1.0,
+                    min_cam_obs: int = 24,
+                    dbg_dir=None) -> WindowedResult:
     """Stereo VO + sliding-window BA over a full sequence.
 
     Args:
@@ -81,7 +146,17 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         snapshotted every ``checkpoint.every`` completed WINDOWS and a run
         resumes after the last one (per-window keys are fold_in(key, w),
         so resume is bit-exact).  Fingerprint covers cfg/window/stride/
-        ba_iters/seed/backend + ``fingerprint_scope``.
+        ba_iters/seed/backend/prior + ``fingerprint_scope``.
+      outlier_px, rerank_px: the two-stage BA observation gates
+        (pipeline/refine.py) — config-lifted per VERDICT r1 weak #4.
+      prior_strength: scale of the cross-window marginalization prior
+        (VERDICT r1 next #5).  Window w's overlap-prefix motions carry a
+        quadratic prior anchored at window w-1's REFINED estimates, so
+        information flows across the seam instead of the later window
+        silently overwriting the earlier one's conditioning.  1.0 ~=
+        a third of a typical window's own information about a boundary
+        pose (calibrated in docs/performance.md); 0 disables (round-1
+        later-window-wins behavior).
     """
     frames = list(frames)
     T = len(frames)
@@ -89,7 +164,16 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
     F = F_from_P_host(P1, P2)
     fn, build, refine = _jitted_fns(
         calib, np.ascontiguousarray(F, np.float64).tobytes(), cfg,
-        backend, ba_iters)
+        backend, ba_iters, float(outlier_px), float(rerank_px))
+    # per-dof prior information, px^2 per unit^2: a rotation dof moves a
+    # pixel by ~f px/rad, a translation dof by ~f/Z px/m (Z ~ 15 m
+    # typical landmark depth) — scaled to ~1/3 of the ~200-observation
+    # info a window itself has about a boundary pose
+    f2 = calib.f * calib.f
+    prior_w6 = prior_strength * np.array(
+        [70.0 * f2, 70.0 * f2, 70.0 * f2,
+         70.0 * f2 / 225.0, 70.0 * f2 / 225.0, 70.0 * f2 / 225.0],
+        np.float32)
 
     # Ship each frame to the device once per residency (uint8 stays
     # uint8 — 4x less tunnel/DMA traffic; the detector casts on-device).
@@ -138,6 +222,7 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         fingerprint = config_fingerprint(
             cfg, seed, backend,
             scope=f"ba:{window}:{stride}:{ba_iters}:T{T}:"
+                  f"p{prior_strength}:o{outlier_px}:r{rerank_px}:"
                   f"{fingerprint_scope}")
         ck = checkpoint.latest()
         if ck is not None:
@@ -175,10 +260,35 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         ims1, ims2 = window_stacks(s, e)
         out, tracks = fn(ims1, ims2, jax.random.fold_in(key, w))
         prob = build(tracks, out.motions)
-        refined, c0, c1, ok_ba = refine(prob)
+        # marginalization prior: anchor this window's overlap-prefix
+        # motions at the PREVIOUS window's refined estimates (already in
+        # `motions`); local index i <-> frame s+i, prefix length =
+        # previous window's end minus s.  First window: count 0.
+        if w > 0:
+            prev_e = min(starts[w - 1] + window, T)
+            overlap = max(0, min(prev_e - s, e - s))
+        else:
+            overlap = 0
+        prior_count = overlap if prior_strength > 0 else 0
+        prior_motions = jnp.asarray(motions[s:e])
+        if dbg_dir is not None:
+            _dump_window_debug(dbg_dir, frames, s, overlap, e, tracks)
+        refined, c0, c1, ok_ba, cam_obs = refine(
+            prob, out.motions, prior_motions,
+            jnp.asarray(prior_count, jnp.int32),
+            jnp.asarray(prior_w6))
         refined = np.asarray(refined)
         out_ok = np.asarray(out.ok)
-        use = np.asarray(jnp.where(ok_ba, refined, out.motions))
+        # a motion is BA-trustworthy only when the window converged AND
+        # both endpoint cameras kept enough post-gate observations —
+        # a weakly-observed camera's refined motion can be meters off
+        # while the window cost still drops (pipeline/refine.py)
+        cam_obs = np.asarray(cam_obs)
+        cam_ok = cam_obs >= min_cam_obs
+        motion_ok = bool(ok_ba) & cam_ok & np.roll(cam_ok, 1)
+        motion_ok[0] = False
+        use = np.where(motion_ok[:, None], refined,
+                       np.asarray(out.motions))
         window_costs.append((float(c0), float(c1), bool(ok_ba)))
         # local index 0 is the window's halo frame (no motion)
         motions[s + 1:e] = use[1:]

@@ -88,16 +88,24 @@ class BAResult(NamedTuple):
     iters: jax.Array
 
 
-def ba_cost(poses, X, obs, mask, calib: Calib):
-    """Mean squared reprojection error over visible observations."""
+def ba_cost(poses, X, obs, mask, calib: Calib, pose_prior=None,
+            prior_weight=None):
+    """Mean squared reprojection error over visible observations (plus
+    the mean prior penalty when a pose prior is active — acceptance
+    control must see the same objective the step minimizes)."""
     predict, _ = _project_all(poses, X, calib)
     r = jnp.where(mask[..., None], obs - predict, 0.0)
     n = jnp.maximum(jnp.sum(mask), 1)
-    return jnp.sum(r * r) / n
+    c = jnp.sum(r * r) / n
+    if pose_prior is not None:
+        d = poses - pose_prior
+        c = c + jnp.sum(prior_weight * d * d) / n
+    return c
 
 
 def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
-                  damping: float = 1e-4, fix_first: bool = True) -> BAResult:
+                  damping: float = 1e-4, fix_first: bool = True,
+                  pose_prior=None, prior_weight=None) -> BAResult:
     """Damped Gauss-Newton window BA with Schur elimination of landmarks.
 
     Args:
@@ -108,6 +116,14 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
       iters: fixed GN/LM iteration count (fixed shapes; cheap iterations).
       damping: Levenberg damping added to U and V diagonals.
       fix_first: freeze pose 0 (gauge).
+      pose_prior: optional (W, 6) prior pose vectors — the
+        marginalization prior carrying information from the PREVIOUS
+        overlapping window into this one (VERDICT r1 #5).  Adds the
+        quadratic penalty ``prior_weight * (pose - pose_prior)^2``
+        per dof: a diagonal information block, so it drops into the
+        Schur-reduced pose system as a block-diagonal addition to U.
+      prior_weight: (W, 6) nonneg per-dof weights in px^2-per-unit^2
+        (0 rows disable the prior for that pose).
 
     Returns BAResult; invalid/ill-conditioned steps are skipped (the
     iteration keeps the previous iterate), so the result never diverges
@@ -116,6 +132,8 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
     W, L = mask.shape
     dtype = poses0.dtype
     maskf = mask.astype(dtype)
+    if pose_prior is not None and prior_weight is None:
+        raise ValueError("pose_prior requires prior_weight")
 
     pose_free = jnp.ones((W,), dtype)
     if fix_first:
@@ -135,6 +153,11 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         Wkj = jnp.einsum("wlri,wlrj->wlij", A, B, precision="highest")
         b_p = jnp.einsum("wlri,wlr->wi", A, r, precision="highest")
         b_l = jnp.einsum("wlri,wlr->li", B, r, precision="highest")
+
+        if pose_prior is not None:
+            # diagonal prior information + its gradient contribution
+            U = U + jax.vmap(jnp.diag)(prior_weight)
+            b_p = b_p + prior_weight * (pose_prior - poses)
 
         U = U + lam * jnp.eye(6, dtype=dtype)
         V = V + lam * jnp.eye(3, dtype=dtype)
@@ -168,7 +191,8 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
 
         new_poses = poses + step_p
         new_X = X + step_l
-        new_cost = ba_cost(new_poses, new_X, obs, mask, calib)
+        new_cost = ba_cost(new_poses, new_X, obs, mask, calib,
+                           pose_prior, prior_weight)
         # Levenberg-Marquardt trust-region control: accepted steps relax
         # the damping, rejected steps tighten it (a fixed damping would
         # recompute the identical rejected step forever).
@@ -179,7 +203,8 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9), lam * 10.0)
         return (poses, X, cost, lam), cost
 
-    init_cost = ba_cost(poses0, X0, obs, mask, calib)
+    init_cost = ba_cost(poses0, X0, obs, mask, calib, pose_prior,
+                        prior_weight)
     lam0 = jnp.asarray(damping, dtype)
     (poses, X, cost, _), _ = jax.lax.scan(
         iteration, (poses0, X0, init_cost, lam0), None, length=iters)

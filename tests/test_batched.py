@@ -36,6 +36,7 @@ def run_batched(seq, cfg):
     return fn(left, right, jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_batched_matches_streaming(seq):
     cfg = tiny_config()
     out = run_batched(seq, cfg)
@@ -48,6 +49,7 @@ def test_batched_matches_streaming(seq):
     assert ate_rmse(poses, seq.gt_poses) < 0.12
 
 
+@pytest.mark.slow
 def test_batched_l2_metric(seq):
     cfg = tiny_config().with_metric("l2")
     out = run_batched(seq, cfg)

@@ -132,3 +132,28 @@ def test_sharded_bundle_adjust_validates(rng):
     mesh = make_mesh(n_data=1, n_model=8)
     with pytest.raises(ValueError, match="divisible"):
         sharded_bundle_adjust(mesh, poses, X, obs, mask, CALIB)
+
+
+def test_pose_prior_pulls_and_zero_weight_is_noop(rng):
+    """The marginalization prior (VERDICT r1 #5): zero weight must
+    reproduce the unprior solve exactly; a dominant prior must pin the
+    poses at the prior values."""
+    poses, X, obs, mask = make_window(rng, noise_px=0.3)
+    W = poses.shape[0]
+    init = poses + 0.005
+    base = bundle_adjust(init, X, obs, mask, CALIB, iters=8)
+    zw = bundle_adjust(init, X, obs, mask, CALIB, iters=8,
+                       pose_prior=jnp.zeros((W, 6)),
+                       prior_weight=jnp.zeros((W, 6)))
+    np.testing.assert_array_equal(np.asarray(base.poses),
+                                  np.asarray(zw.poses))
+
+    # dominant prior at a slightly-off pose set: solution must land on it
+    prior = np.asarray(poses) + 0.01
+    prior[0] = np.asarray(init)[0]  # gauge pose is frozen anyway
+    strong = bundle_adjust(init, X, obs, mask, CALIB, iters=12,
+                           pose_prior=jnp.asarray(prior),
+                           prior_weight=jnp.full((W, 6), 1e9))
+    # residual offset ~ (reprojection gradient)/(prior curvature) ~ 1e-4
+    np.testing.assert_allclose(np.asarray(strong.poses)[1:], prior[1:],
+                               atol=5e-4)

@@ -62,6 +62,7 @@ def _best_err(E_cands, valid, E_true):
     return min(errs) if errs else np.inf
 
 
+@pytest.mark.slow
 def test_five_point_oracle_recovery(rng):
     """>= 90% of exact minimal problems must contain the true E."""
     ok = 0
@@ -119,6 +120,7 @@ def test_real_roots_known_polynomial():
     assert all(found), (got, expect)
 
 
+@pytest.mark.slow
 def test_ransac_5pt_planar_scene(rng):
     """Planar scenes break the 8-point minimal solver; 5-point must not."""
     R, t, E_true, x1, x2 = _scene(7, n=120, planar=True)

@@ -15,6 +15,8 @@ from libviso_tpu.config import (
 from libviso_tpu.pipeline.loop import run_with_loop_closure
 from libviso_tpu.synthetic import generate_sequence
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_config():
     return PipelineConfig(

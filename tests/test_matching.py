@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from libviso_tpu.config import MatchConfig
 from libviso_tpu.geometry.mvg import sampson_distance
@@ -23,7 +24,11 @@ def random_keypoints(rng, n, n_valid, w=400, h=120, dim=128):
 
 
 def numpy_match(kp1, d1, kp2, d2, cfg, F=None):
-    """Scalar mirror of match_desc (src/viso.cpp:668-726), no neighbor cap."""
+    """Scalar mirror of match_desc (src/viso.cpp:668-726), no neighbor cap.
+
+    Hard-codes the reference L1 metric: callers pin metric='l1' (the
+    engine default is the MXU l2 mode since round 2).
+    """
     xy1, xy2 = np.asarray(kp1.xy), np.asarray(kp2.xy)
     v1, v2 = np.asarray(kp1.valid), np.asarray(kp2.valid)
     d1, d2 = np.asarray(d1), np.asarray(d2)
@@ -59,7 +64,7 @@ def numpy_match(kp1, d1, kp2, d2, cfg, F=None):
 def test_match_plain(rng):
     kp1, d1 = random_keypoints(rng, 128, 100)
     kp2, d2 = random_keypoints(rng, 128, 90)
-    cfg = MatchConfig(radius=80.0)
+    cfg = MatchConfig(radius=80.0, metric="l1")
     out = match_descriptors(kp1, d1, kp2, d2, cfg)
     expected = numpy_match(kp1, d1, kp2, d2, cfg)
     np.testing.assert_array_equal(np.asarray(out.idx), expected)
@@ -71,18 +76,21 @@ def test_match_ratio_test(rng):
     kp2, d2 = random_keypoints(rng, 128, 110)
     # near-duplicate descriptors to exercise the ratio rejection
     d2 = d2.at[1].set(d2[0] * 1.0001)
-    cfg = MatchConfig(radius=500.0, use_ratio=True, ratio=0.9)
+    cfg = MatchConfig(radius=500.0, use_ratio=True, ratio=0.9,
+                      metric="l1")
     out = match_descriptors(kp1, d1, kp2, d2, cfg)
     expected = numpy_match(kp1, d1, kp2, d2, cfg)
     np.testing.assert_array_equal(np.asarray(out.idx), expected)
 
 
+@pytest.mark.slow
 def test_match_epipolar_gate(rng):
     # rectified-pair F: matches must be near-horizontal
     F = jnp.array([[0.0, 0, 0], [0, 0, -1], [0, 1, 0]])
     kp1, d1 = random_keypoints(rng, 128, 128)
     kp2, d2 = random_keypoints(rng, 128, 128)
-    cfg = MatchConfig(radius=200.0, use_epipolar=True, sampson_thresh=1.0)
+    cfg = MatchConfig(radius=200.0, use_epipolar=True, sampson_thresh=1.0,
+                      metric="l1")
     out = match_descriptors(kp1, d1, kp2, d2, cfg, F=F)
     expected = numpy_match(kp1, d1, kp2, d2, cfg, F=F)
     np.testing.assert_array_equal(np.asarray(out.idx), expected)
@@ -96,7 +104,7 @@ def test_match_epipolar_gate(rng):
 
 def test_match_identical_descriptors_self_match(rng):
     kp1, d1 = random_keypoints(rng, 128, 64)
-    out = match_descriptors(kp1, d1, kp1, d1, MatchConfig(radius=80.0))
+    out = match_descriptors(kp1, d1, kp1, d1, MatchConfig(radius=80.0, metric="l1"))
     got = np.asarray(out.idx[:64])
     np.testing.assert_array_equal(got, np.arange(64))
 

@@ -35,6 +35,7 @@ def test_mono_solves_frames(mono_run):
     assert result.frame_ok[1:].all(), result.stats
 
 
+@pytest.mark.slow
 def test_mono_scale_propagation_variable_speed():
     """VERDICT r1 #3: a variable-speed sequence must be recovered up to ONE
     global scale (<5% relative drift), not per-step unit norms."""
@@ -68,6 +69,7 @@ def test_mono_scale_propagation_variable_speed():
     assert all(s["scale_support"] >= 12 for s in res.stats[2:]), res.stats
 
 
+@pytest.mark.slow
 def test_mono_scale_propagation_off_is_unit_norm():
     from libviso_tpu.config import MonoConfig
 

@@ -17,6 +17,8 @@ from libviso_tpu.parallel import (
 )
 from libviso_tpu.synthetic import generate_sequence
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("total,chunks,procs", [
     (9, 4, 2), (17, 8, 4), (6, 4, 4), (12, 2, 1),

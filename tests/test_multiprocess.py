@@ -16,6 +16,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = textwrap.dedent("""
     import os
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -25,7 +25,7 @@ def test_fused_matches_unfused(rng, use_epi):
     d2 = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
     F = jnp.asarray(rng.standard_normal((3, 3)), jnp.float32)
 
-    cfg = MatchConfig(radius=120.0, use_epipolar=use_epi,
+    cfg = MatchConfig(radius=120.0, metric="l1", use_epipolar=use_epi,
                       sampson_thresh=200.0)
     kp1 = Keypoints(xy=xy1, response=jnp.zeros(N), valid=v1)
     kp2 = Keypoints(xy=xy2, response=jnp.zeros(N), valid=v2)
@@ -64,7 +64,7 @@ def test_sorted_fused_matches_unfused(rng, use_epi):
     d2 = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
     F = jnp.asarray(rng.standard_normal((3, 3)), jnp.float32)
 
-    cfg = MatchConfig(radius=90.0, use_epipolar=use_epi,
+    cfg = MatchConfig(radius=90.0, metric="l1", use_epipolar=use_epi,
                       sampson_thresh=150.0)
     kp1 = Keypoints(xy=xy1, response=jnp.zeros(N), valid=v1)
     kp2 = Keypoints(xy=xy2, response=jnp.zeros(N), valid=v2)

@@ -77,6 +77,7 @@ def test_first_frame_is_identity(synthetic_run):
     assert not result.frame_ok[0]
 
 
+@pytest.mark.slow
 def test_l2_metric_trajectory_close_to_l1():
     """config.py claims the MXU l2 metric yields near-identical match sets;
     back it with a trajectory-level check."""
@@ -87,7 +88,8 @@ def test_l2_metric_trajectory_close_to_l1():
                                 num_slots=256),
         ransac=RansacConfig(num_hypotheses=16, gn_iters=20),
     )
-    r1 = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg, seed=0)
+    r1 = run_stereo_sequence(seq.frames, seq.P1, seq.P2,
+                             cfg.with_metric("l1"), seed=0)
     r2 = run_stereo_sequence(seq.frames, seq.P1, seq.P2,
                              cfg.with_metric("l2"), seed=0)
     assert r2.frame_ok[1:].all()

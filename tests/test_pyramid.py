@@ -62,6 +62,7 @@ def test_multiscale_detects_coarse_corners(rng):
     assert np.abs(np.asarray(desc)[v]).sum() > 0
 
 
+@pytest.mark.slow
 def test_pipeline_with_subpixel_improves_on_fractional_scene():
     seq = generate_sequence(num_frames=8, num_points=500, seed=3,
                             width=416, height=160, speed=0.7,
@@ -97,6 +98,7 @@ def test_pipeline_with_pyramid_runs():
     assert ate_rmse(res.poses, seq.gt_poses) < 0.2
 
 
+@pytest.mark.slow
 def test_deep_pyramid_small_budgets_no_crash(rng):
     """Regression: levels >= 4 with the default 1280-slot budget used to
     raise (level-3 budget 85 < 120 bins forced max_features > num_slots)."""
@@ -114,6 +116,7 @@ def test_deep_pyramid_small_budgets_no_crash(rng):
     assert set(np.unique(lv)) >= {0, 1, 2, 3}
 
 
+@pytest.mark.slow
 def test_pyramid_tiny_slots_no_crash(rng):
     from libviso_tpu.config import DetectorConfig
     from libviso_tpu.ops.pyramid import detect_and_describe_multiscale

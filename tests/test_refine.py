@@ -71,7 +71,8 @@ def test_refinement_reduces_cost_and_tracks_gt(window_run):
         tracks.kp1_xy, tracks.kp2_xy, tracks.mlr_idx, tracks.mlr_valid,
         tracks.m11_idx, tracks.m11_valid, tracks.X, out.motions,
         cfg.detector.num_slots, circ_valid=tracks.circ_valid)
-    motions, c0, c1, ok = refine_window_motions(prob, calib, iters=10)
+    motions, c0, c1, ok, cam_obs = refine_window_motions(prob, calib,
+                                                         iters=10)
     assert bool(ok)
     assert float(c1) <= float(c0)
 
@@ -96,7 +97,8 @@ def test_refinement_fixes_perturbed_motions(window_run):
         tracks.kp1_xy, tracks.kp2_xy, tracks.mlr_idx, tracks.mlr_valid,
         tracks.m11_idx, tracks.m11_valid, tracks.X, bad,
         cfg.detector.num_slots, circ_valid=tracks.circ_valid)
-    motions, c0, c1, ok = refine_window_motions(prob, calib, iters=15)
+    motions, c0, c1, ok, cam_obs = refine_window_motions(prob, calib,
+                                                         iters=15)
     assert bool(ok)
     assert float(c1) < float(c0) * 0.5
     # refined motion 2 lands near ground truth (BA jointly optimizes

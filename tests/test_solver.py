@@ -107,6 +107,7 @@ def test_gauss_newton_fails_on_degenerate(rng):
     assert not bool(res.converged)
 
 
+@pytest.mark.slow
 def test_ransac_pose_clean(rng):
     X, observe, tr_true = make_problem(rng, n=150)
     valid = jnp.ones(150, dtype=bool)
@@ -116,6 +117,7 @@ def test_ransac_pose_clean(rng):
     np.testing.assert_allclose(out.tr, tr_true, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_ransac_pose_with_outliers_and_padding(rng):
     n_real, n_pad = 120, 40
     X, observe, tr_true = make_problem(rng, n=n_real, pixel_noise=0.3,

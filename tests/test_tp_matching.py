@@ -43,17 +43,20 @@ def _assert_same(a, b):
 @pytest.mark.parametrize("n_model", [2, 4, 8])
 def test_tp_matches_local_exactly(rng, n_model):
     kp1, d1, kp2, d2 = _random_problem(rng)
-    cfg = MatchConfig(radius=120.0, use_ratio=True, ratio=0.9)
+    cfg = MatchConfig(radius=120.0, use_ratio=True, ratio=0.9,
+                      metric="l1")
     mesh = make_mesh(n_data=1, n_model=n_model)
     ref = match_descriptors(kp1, d1, kp2, d2, cfg)
     got = tp_match_descriptors(mesh, kp1, d1, kp2, d2, cfg)
     _assert_same(got, ref)
 
 
+@pytest.mark.slow
 def test_tp_with_epipolar_gate(rng):
     kp1, d1, kp2, d2 = _random_problem(rng, n1=32, n2=64, d=16)
     F = jnp.asarray(rng.standard_normal((3, 3)), jnp.float32)
     cfg = MatchConfig(radius=500.0, use_epipolar=True, sampson_thresh=50.0,
+                      metric="l1",
                       use_ratio=False)
     mesh = make_mesh(n_data=1, n_model=4)
     ref = match_descriptors(kp1, d1, kp2, d2, cfg, F=F)
@@ -61,10 +64,11 @@ def test_tp_with_epipolar_gate(rng):
     _assert_same(got, ref)
 
 
+@pytest.mark.slow
 def test_tp_on_2d_mesh(rng):
     """'model' sharding must also work when a 'data' axis is present."""
     kp1, d1, kp2, d2 = _random_problem(rng, n1=32, n2=64, d=16)
-    cfg = MatchConfig(radius=150.0)
+    cfg = MatchConfig(radius=150.0, metric="l1")
     mesh = make_mesh(n_data=2, n_model=4)
     ref = match_descriptors(kp1, d1, kp2, d2, cfg)
     got = tp_match_descriptors(mesh, kp1, d1, kp2, d2, cfg)
@@ -96,9 +100,28 @@ def test_tp_matcher_under_jit(rng):
     from libviso_tpu.parallel import build_tp_matcher
 
     kp1, d1, kp2, d2 = _random_problem(rng, n1=32, n2=64, d=16)
-    cfg = MatchConfig(radius=150.0)
+    cfg = MatchConfig(radius=150.0, metric="l1")
     mesh = make_mesh(n_data=1, n_model=4)
     fn = jax.jit(build_tp_matcher(mesh, cfg))
     got = fn(kp1, d1, kp2, d2)
     ref = match_descriptors(kp1, d1, kp2, d2, cfg)
     _assert_same(got, ref)
+
+
+def test_tp_l2_metric_matches_local_within_tolerance(rng):
+    """The default l2 metric computes distances via the matmul identity,
+    whose cross-shard reduction order differs from the local kernel's —
+    bit-equality (the l1 tests above) cannot hold, but the sharded
+    result must agree to f32 reduction noise and produce the same match
+    assignments wherever the margin exceeds that noise."""
+    mesh = make_mesh(n_data=1, n_model=8)
+    kp1, d1, kp2, d2 = _random_problem(rng, n1=128, n2=256)
+    cfg = MatchConfig(radius=120.0, use_ratio=True, ratio=0.9, metric="l2")
+    ref = match_descriptors(kp1, d1, kp2, d2, cfg)
+    got = tp_match_descriptors(mesh, kp1, d1, kp2, d2, cfg)
+    same = np.asarray(ref.idx) == np.asarray(got.idx)
+    assert same.mean() > 0.99, same.mean()
+    rd = np.asarray(ref.dist)[same]
+    gd = np.asarray(got.dist)[same]
+    finite = np.isfinite(rd)
+    np.testing.assert_allclose(gd[finite], rd[finite], rtol=1e-5)
