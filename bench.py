@@ -81,7 +81,12 @@ def main():
         cfg = dataclasses.replace(
             cfg, ransac=dataclasses.replace(cfg.ransac,
                                             hypothesis_method=hyp))
-    seq = generate_sequence(num_frames=max(window, 10), num_points=900,
+    # enough DISTINCT frames that a streaming rep never repeats inputs
+    # within a window (VERDICT r1 weak #2: a 10-frame loop was the most
+    # favorable defensible choice; now every rep of a window sees a
+    # different frame up to 60)
+    n_frames = max(window, min(int(_flag("reps", "30")), 60), 10)
+    seq = generate_sequence(num_frames=n_frames, num_points=900,
                             seed=0, width=1241, height=376, f=718.856,
                             base=0.5371657, speed=0.8)
     calib = Calib.from_projections(seq.P1, seq.P2)
@@ -99,11 +104,14 @@ def main():
             state, out = step(state, frames[t][0], frames[t][1],
                               jax.random.fold_in(key, t))
         jax.block_until_ready(out)
-        # Best of 3 measurement windows: the tunnel occasionally stalls a
-        # dispatch for tens of ms, which would charge network jitter to
-        # the engine; the best window is the least-contaminated estimate.
+        # 5 measurement windows; the HEADLINE value is the MEDIAN window
+        # (VERDICT r1 weak #2 — best-of-N charges none of the tunnel's
+        # dispatch stalls to the engine but is the most favorable
+        # defensible choice; the median is robust to stall contamination
+        # in both directions).  The best window is reported alongside as
+        # the least-network-contaminated estimate of device throughput.
         window_fps = []
-        for w in range(3):
+        for w in range(5):
             t0 = time.perf_counter()
             n = 0
             for t in range(reps):
@@ -113,7 +121,8 @@ def main():
                 n += 1
             jax.block_until_ready(out)
             window_fps.append(n / (time.perf_counter() - t0))
-        fps = max(window_fps)
+        fps = float(np.median(window_fps))
+        fps_best = max(window_fps)
     elif staged:
         # Whole-window batched odometry on pre-staged device frames: ONE
         # dispatch per `window` frames, so per-dispatch RPC (which the
@@ -179,12 +188,15 @@ def main():
         ):
             print(st.pretty(), file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": "stereo_vo_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+    if streaming:
+        line["value_best_window"] = round(fps_best, 3)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
