@@ -29,10 +29,11 @@ import numpy as np
 def _add_cfg_flags(parser):
     """Pipeline-tuning flags shared by the kitti and synth subcommands."""
     parser.add_argument(
-        "--metric", default=None, choices=["l1", "l2"],
+        "--metric", default=None, choices=["l1", "l2", "l2q8"],
         help="descriptor distance: l2 (the config default) rides the "
              "MXU ~100x cheaper with trajectory-equivalent matches "
-             "(tests/test_matcher_equivalence.py); l1 = strict "
+             "(tests/test_matcher_equivalence.py); l2q8 = int8-"
+             "quantized MXU mode (4x integer MXU rate); l1 = strict "
              "reference parity (NORM_L1, src/viso.cpp:989)")
     parser.add_argument(
         "--hyp", default=None, choices=["gn", "procrustes"],

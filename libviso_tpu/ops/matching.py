@@ -81,10 +81,35 @@ def _l2_desc_dist(d1, d2):
     return jnp.sqrt(sq)
 
 
+def _l2q8_desc_dist(d1, d2, scale=8.0):
+    """L2 distance over int8-QUANTIZED descriptors (int8 MXU path).
+
+    Sobel-patch descriptor values span ~[-1020, 1020] (ksize-3 Sobel of
+    uint8 images, features.py); ``round(d/8)`` fits int8 with
+    quantization noise ~sqrt(D)*scale/sqrt(12) ~ 25 per distance — two
+    orders below typical non-match distances, and the Lowe ratio margin
+    of true matches dwarfs it (equivalence tested).  The int8xint8 ->
+    int32 contraction runs in the MXU's high-throughput integer mode
+    (4x the f32-input rate on current TPUs); norms and the unquantized
+    SCALE factor are applied outside the hot contraction.
+    """
+    q1 = jnp.clip(jnp.round(d1 / scale), -127, 127).astype(jnp.int8)
+    q2 = jnp.clip(jnp.round(d2 / scale), -127, 127).astype(jnp.int8)
+    cross = jax.lax.dot_general(
+        q1, q2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)          # (N1, N2) int32
+    n1 = jnp.sum(q1.astype(jnp.int32) ** 2, axis=-1)
+    n2 = jnp.sum(q2.astype(jnp.int32) ** 2, axis=-1)
+    sq = jnp.maximum(n1[:, None] + n2[None, :] - 2 * cross, 0)
+    return scale * jnp.sqrt(sq.astype(d1.dtype))
+
+
 def descriptor_distances(d1, d2, metric="l1", backend="xla"):
     """All-pairs descriptor distance matrix under the configured metric."""
     if metric == "l2":
         return _l2_desc_dist(d1, d2)
+    if metric == "l2q8":
+        return _l2q8_desc_dist(d1, d2)
     if metric != "l1":
         raise ValueError(f"unknown metric {metric!r}")
     if backend == "pallas":

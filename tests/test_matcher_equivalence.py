@@ -114,3 +114,35 @@ def test_l2_battery_aggregate(battery_results):
     assert med <= 1.15, (med, sorted(np.round(ratios, 2)))
     assert gmean <= 1.15, (gmean, sorted(np.round(ratios, 2)))
     assert (ratios < 1.0).sum() >= len(ratios) // 4, ratios
+
+
+def test_l2q8_distances_within_quantization_noise(rng):
+    """int8-quantized MXU distances agree with exact l2 to the analytic
+    quantization bound over realistic descriptor magnitudes."""
+    from libviso_tpu.ops.matching import descriptor_distances
+
+    import jax.numpy as jnp
+
+    d1 = jnp.asarray(rng.uniform(-1000, 1000, (64, 128)), jnp.float32)
+    d2 = jnp.asarray(rng.uniform(-1000, 1000, (96, 128)), jnp.float32)
+    exact = np.asarray(descriptor_distances(d1, d2, metric="l2"))
+    quant = np.asarray(descriptor_distances(d1, d2, metric="l2q8"))
+    # per-dim quant err <= 4 -> distance err bound ~ sqrt(D)*4
+    assert np.max(np.abs(exact - quant)) < np.sqrt(128) * 4.0 + 1.0
+
+
+def test_l2q8_trajectory_matches_l2():
+    """One representative sequence: the quantized mode lands in the same
+    accuracy regime as exact l2 (the full battery gates the l2-vs-l1
+    flip; l2q8 is an opt-in speed mode, PARITY-neutral vs l2)."""
+    shape = dict(SHAPE)
+    shape.update(num_points=400)
+    seq = generate_sequence(seed=41, **shape)
+    r2 = run_stereo_sequence(seq.frames, seq.P1, seq.P2,
+                             CFG.with_metric("l2"), seed=0)
+    rq = run_stereo_sequence(seq.frames, seq.P1, seq.P2,
+                             CFG.with_metric("l2q8"), seed=0)
+    assert rq.frame_ok[1:].all()
+    a2 = ate_rmse(r2.poses, seq.gt_poses)
+    aq = ate_rmse(rq.poses, seq.gt_poses)
+    assert aq <= 2.0 * a2 + 0.05, (a2, aq)
