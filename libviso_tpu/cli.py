@@ -151,13 +151,24 @@ def _cmd_kitti(args):
         extra["ba_improved"] = sum(
             1 for (c0, c1, ok) in res.window_costs if ok and c1 < c0)
     elif args.loop_closure:
-        if args.save_debug or args.checkpoint_every > 0:
-            sys.exit("--loop-closure supports neither --save-debug nor "
-                     "--checkpoint-every yet; drop those flags")
         from libviso_tpu.pipeline.loop import run_with_loop_closure
 
-        res = run_with_loop_closure(list(stream), P1, P2, cfg,
-                                    seed=args.seed, backend=args.backend)
+        lc_ckpt = None
+        if args.checkpoint_every > 0:
+            from libviso_tpu.utils.checkpoint import CheckpointManager
+
+            # separate subdir: loop-mode checkpoints carry the keyframe
+            # store and are not interchangeable with frame/BA-mode ones
+            lc_ckpt = CheckpointManager(
+                os.path.join(result_dir, "checkpoints", "loop"),
+                every=args.checkpoint_every)
+        res = run_with_loop_closure(
+            list(stream), P1, P2, cfg,
+            seed=args.seed, backend=args.backend,
+            checkpoint=lc_ckpt,
+            fingerprint_scope=f"{args.seq}:{args.begin}:{args.end}",
+            dbg_dir=(os.path.join(result_dir, "dbg")
+                     if args.save_debug else None))
         stats = [{"frame": t, "ok": bool(res.frame_ok[t])}
                  for t in range(len(res.poses))]
         extra["loops"] = [

@@ -198,23 +198,32 @@ def run_with_loop_closure(frames, P1, P2,
                           loop_match_ratio: float = 0.8,
                           robust: str = "cauchy",
                           robust_delta: float = 0.05,
-                          normalize_desc: bool = True) -> LoopClosureResult:
+                          normalize_desc: bool = True,
+                          checkpoint=None,
+                          fingerprint_scope: str = "",
+                          dbg_dir=None) -> LoopClosureResult:
     """Streaming VO + loop detection + pose-graph optimization.
 
-    Args mirror run_stereo_sequence plus the loop-closure knobs.  Returns
-    both the optimized and the open-chain trajectories so the drift
-    removal is inspectable.
+    Args mirror run_stereo_sequence plus the loop-closure knobs
+    (including ``checkpoint``/``fingerprint_scope`` — resumable with the
+    full keyframe store, bit-exact because every RANSAC key is
+    fold_in(key, f(t)) on the absolute frame index — and ``dbg_dir``
+    per-frame debug artifacts).  Returns both the optimized and the
+    open-chain trajectories so the drift removal is inspectable.
     """
     from libviso_tpu.geometry.mvg import F_from_P_host
     from libviso_tpu.geometry.se3 import chain_motions
     from libviso_tpu.pipeline.stereo import _jitted_step, empty_state
+    from libviso_tpu.utils.debug_viz import DebugDumper
 
     # a budget larger than the slot tensor is a no-op, not an error
     keyframe_budget = min(keyframe_budget, cfg.detector.num_slots)
     calib = Calib.from_projections(P1, P2)
     F = F_from_P_host(P1, P2)
+    debug = dbg_dir is not None
+    dumper = DebugDumper(dbg_dir)
     step = _jitted_step(calib, np.ascontiguousarray(F).tobytes(), cfg,
-                        backend, False)
+                        backend, debug)
     summarize = _build_summarize(keyframe_budget,
                                  cfg.detector.descriptor_dim,
                                  normalize_desc)
@@ -243,14 +252,118 @@ def run_with_loop_closure(frames, P1, P2,
     kf_frames = np.full((max_keyframes,), -1, np.int64)
     n_kf = 0
 
-    outs = []
+    motions_l: list = []
+    oks_l: list = []
     loops: list = []
     candidates: list = []
-    for t, (im1, im2) in enumerate(frames):
-        state, out = step(state, jnp.asarray(im1), jnp.asarray(im2),
-                          jax.random.fold_in(key, t))
-        outs.append(out)
+    t0 = 0
+    fingerprint = None
+    if checkpoint is not None:
+        from libviso_tpu.utils.checkpoint import config_fingerprint
+
+        fingerprint = config_fingerprint(
+            cfg, seed, backend,
+            scope=(f"loop:{keyframe_every}:{min_gap}:{min_matches}:"
+                   f"{min_inliers}:{max_keyframes}:{keyframe_budget}:"
+                   f"{loop_match_ratio}:{fingerprint_scope}"))
+        ck = checkpoint.latest()
+        if ck is not None:
+            if ck.fingerprint != fingerprint:
+                raise ValueError(
+                    "checkpoint fingerprint mismatch: written with "
+                    f"different cfg/knobs ({ck.fingerprint} != "
+                    f"{fingerprint})")
+            treedef = jax.tree_util.tree_structure(state)
+            n_state = len(jax.tree_util.tree_leaves(state))
+            state = jax.tree_util.tree_unflatten(
+                treedef,
+                [jnp.asarray(x) for x in ck.state_leaves[:n_state]])
+            (kf_xy, kf_desc, kf_valid, kf_X_r, kf_frames_r,
+             n_kf_r) = ck.state_leaves[n_state:n_state + 6]
+            kf_xy = jnp.asarray(kf_xy)
+            kf_desc = jnp.asarray(kf_desc)
+            kf_valid = jnp.asarray(kf_valid)
+            kf_X = np.asarray(kf_X_r, np.float32)
+            kf_frames = np.asarray(kf_frames_r, np.int64)
+            n_kf = int(np.asarray(n_kf_r)[0])
+            motions_l = [m for m in ck.motions]
+            oks_l = [bool(o) for o in ck.oks]
+            loops = [LoopEdge(frame_new=s["new"], frame_old=s["old"],
+                              tr=np.asarray(s["tr"], np.float32),
+                              num_inliers=s["inliers"],
+                              num_matches=s["matches"])
+                     for s in ck.stats]
+            t0 = ck.next_frame
+
+    pending: list = []
+
+    def _flush():
+        for out in pending:
+            motions_l.append(np.asarray(out.tr))
+            oks_l.append(bool(out.ok))
+        pending.clear()
+
+    def _snapshot(next_frame):
+        from libviso_tpu.utils.checkpoint import Checkpoint
+
+        leaves = ([np.asarray(x)
+                   for x in jax.tree_util.tree_leaves(state)]
+                  + [np.asarray(kf_xy), np.asarray(kf_desc),
+                     np.asarray(kf_valid), kf_X, kf_frames,
+                     np.asarray([n_kf])])
+        checkpoint.save(Checkpoint(
+            next_frame=next_frame,
+            motions=(np.stack(motions_l) if motions_l
+                     else np.zeros((0, 6))),
+            oks=np.asarray(oks_l, bool),
+            state_leaves=leaves,
+            stats=[{"new": le.frame_new, "old": le.frame_old,
+                    "tr": np.asarray(le.tr).tolist(),
+                    "inliers": le.num_inliers,
+                    "matches": le.num_matches} for le in loops],
+            fingerprint=fingerprint,
+        ))
+
+    start = 0
+    if t0 and hasattr(frames, "skipped"):
+        frames = frames.skipped(t0)
+        start = t0
+    prev_host = None
+    for t, (im1, im2) in enumerate(frames, start=start):
+        if t < t0:  # restored from checkpoint
+            continue
+        im1 = jnp.asarray(im1)
+        im2 = jnp.asarray(im2)
+        prev_state = state
+        if debug:
+            state, out, dbg = step(state, im1, im2,
+                                   jax.random.fold_in(key, t))
+            from libviso_tpu.ops.matching import MatchResult
+
+            mlr = MatchResult(idx=state.match_lr,
+                              dist=jnp.zeros_like(state.kp1.response),
+                              valid=state.match_lr >= 0)
+            dumper.frame(
+                t, np.asarray(im1), np.asarray(im2), state.kp1,
+                state.kp2, mlr,
+                prev=(prev_host[0], prev_host[1], prev_state.kp1,
+                      prev_state.kp2) if prev_host else None,
+                circ=dbg.circle if t > 0 else None,
+                predict=dbg.predict if t > 0 else None,
+                obs=dbg.obs if t > 0 else None,
+                inliers=dbg.inliers if t > 0 else None)
+            prev_host = (np.asarray(im1), np.asarray(im2))
+        else:
+            state, out = step(state, im1, im2, jax.random.fold_in(key, t))
+        pending.append(out)
+        # snapshots happen at the END of a frame's work (after any
+        # keyframe-store update for frame t — a snapshot taken before it
+        # would resume WITHOUT frame t's keyframe and diverge from the
+        # uninterrupted run)
         if t % keyframe_every != 0:
+            if checkpoint is not None and (t + 1) % checkpoint.every == 0:
+                _flush()
+                _snapshot(t + 1)
             continue
 
         xy, desc, obs, X, valid = summarize(state)
@@ -368,17 +481,23 @@ def run_with_loop_closure(frames, P1, P2,
         kf_X[slot] = np.asarray(X)
         kf_frames[slot] = t
         n_kf += 1
+        if checkpoint is not None and (t + 1) % checkpoint.every == 0:
+            _flush()
+            _snapshot(t + 1)
 
     # ---- assemble trajectory + pose graph ----
-    if not outs:
+    _flush()
+    if checkpoint is not None and motions_l:
+        _snapshot(len(motions_l))  # final snapshot: a rerun is a no-op
+    if not motions_l:
         empty6 = np.zeros((0, 6), np.float32)
         empty44 = np.zeros((0, 4, 4), np.float32)
         return LoopClosureResult(poses=empty44, poses_vo=empty44,
                                  motions=empty6,
                                  frame_ok=np.zeros((0,), bool), loops=[],
                                  graph_cost=(0.0, 0.0))
-    motions = np.stack([np.asarray(o.tr) for o in outs])
-    oks = np.array([bool(o.ok) for o in outs])
+    motions = np.stack(motions_l)
+    oks = np.asarray(oks_l, bool)
     oks[0] = False
     Ts = pose_vector_to_matrix(jnp.asarray(motions))
     poses_vo = np.asarray(chain_motions(Ts, jnp.asarray(oks)))

@@ -180,3 +180,48 @@ def test_loop_detected_under_exposure_change():
     err_vo = np.linalg.norm(res.poses_vo[-1, :3, 3] - gt[-1, :3, 3])
     err_opt = np.linalg.norm(res.poses[-1, :3, 3] - gt[-1, :3, 3])
     assert err_opt < err_vo
+
+
+@pytest.mark.slow
+def test_loop_closure_checkpoint_resume_bit_exact(tmp_path):
+    """Interrupt mid-sequence, resume from the checkpoint (keyframe store
+    included), and land on the SAME trajectory and the same loop edges as
+    the uninterrupted run — per-frame and per-verification keys are
+    fold_in on absolute indices, so resume is bit-exact."""
+    from libviso_tpu.utils.checkpoint import CheckpointManager
+
+    seq = _circle_sequence(T=32)
+    kw = dict(cfg=tiny_config(), keyframe_every=4, min_gap=16,
+              min_matches=30, min_inliers=15, seed=0)
+    full = run_with_loop_closure(list(seq.frames), seq.P1, seq.P2, **kw)
+
+    ckdir = str(tmp_path / "ck")
+    cm = CheckpointManager(ckdir, every=10)
+    # run only the first 20 frames, snapshotting every 10
+    run_with_loop_closure(list(seq.frames)[:20], seq.P1, seq.P2,
+                          checkpoint=cm, **kw)
+    # wipe checkpoints past frame 20's final snapshot? no — resume the
+    # FULL sequence from whatever was snapshotted
+    cm2 = CheckpointManager(ckdir, every=10)
+    resumed = run_with_loop_closure(list(seq.frames), seq.P1, seq.P2,
+                                    checkpoint=cm2, **kw)
+    np.testing.assert_array_equal(resumed.motions, full.motions)
+    np.testing.assert_array_equal(resumed.frame_ok, full.frame_ok)
+    assert ([(le.frame_old, le.frame_new) for le in resumed.loops]
+            == [(le.frame_old, le.frame_new) for le in full.loops])
+    np.testing.assert_allclose(resumed.poses, full.poses, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_loop_closure_debug_dump(tmp_path):
+    import os
+
+    seq = generate_sequence(num_frames=6, num_points=400, seed=5,
+                            width=256, height=128)
+    dbg = str(tmp_path / "dbg")
+    run_with_loop_closure(list(seq.frames), seq.P1, seq.P2,
+                          cfg=tiny_config(), keyframe_every=3,
+                          min_gap=10, seed=0, dbg_dir=dbg)
+    names = os.listdir(dbg)
+    assert any(n.startswith("corners1_") for n in names)
+    assert any(n.startswith("blend12_") for n in names)
