@@ -85,7 +85,7 @@ def main():
     # within a window (VERDICT r1 weak #2: a 10-frame loop was the most
     # favorable defensible choice; now every rep of a window sees a
     # different frame up to 60)
-    n_frames = max(window, min(int(_flag("reps", "30")), 60), 10)
+    n_frames = max(window, min(reps, 60), 10)
     seq = generate_sequence(num_frames=n_frames, num_points=900,
                             seed=0, width=1241, height=376, f=718.856,
                             base=0.5371657, speed=0.8)

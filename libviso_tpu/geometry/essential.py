@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from libviso_tpu.geometry.mvg import e2h, sampson_distance
+from libviso_tpu.utils.stats import masked_median_abs
 
 
 def normalize_points(x, K):
@@ -164,13 +165,6 @@ def _t_basis(t):
     return jnp.stack([b1, b2], axis=-1)
 
 
-def _masked_median_abs(x, active):
-    """Median of |x| over ``active`` rows (fixed shapes; +inf padding)."""
-    ax = jnp.where(active, jnp.abs(x), jnp.inf)
-    xs = jnp.sort(ax)
-    n = jnp.sum(active.astype(jnp.int32))
-    k = jnp.clip((n - 1) // 2, 0, x.shape[0] - 1)
-    return xs[k]
 
 
 def refine_relative_pose(R, t, x1, x2, weights, iters: int = 8,
@@ -216,7 +210,7 @@ def refine_relative_pose(R, t, x1, x2, weights, iters: int = 8,
         # optimum pulled ~3 deg off by sub-threshold contaminated inliers
         # (aliased matches, overlap corners); the robust knee caps their
         # pull while true inliers keep unit weight.
-        sig = 1.4826 * _masked_median_abs(r, active) + 1e-9
+        sig = 1.4826 * masked_median_abs(r, active) + 1e-9
         knee = 1.345 * sig
         return w * jnp.minimum(1.0, knee / jnp.maximum(jnp.abs(r), 1e-18))
 
@@ -456,7 +450,7 @@ def three_view_bundle(R1, t1, x_a, R2, t2, x_b, x_c, z0, weights,
         nc = jnp.sqrt(jnp.sum(r[:, 2:] ** 2, axis=-1) + 1e-18)
 
         def tukey(n):
-            sig = jnp.maximum(1.4826 * _masked_median_abs(n, active),
+            sig = jnp.maximum(1.4826 * masked_median_abs(n, active),
                               huber / 4.685)
             q = n / (4.685 * sig)
             return jnp.where(q < 1.0, (1.0 - q * q) ** 2, 0.0)

@@ -72,6 +72,9 @@ class LoopClosureResult:
     # that reached geometric verification, accepted or not (the loop
     # analog of the per-frame stats dict; drives threshold tuning)
     candidates: list = None
+    # frames computed THIS run (excludes checkpoint-restored frames) —
+    # drivers report fps over this, not the restored span
+    processed: int = 0
 
 
 def _build_summarize(budget: int, desc_dim: int, normalize: bool):
@@ -98,7 +101,11 @@ def _build_summarize(budget: int, desc_dim: int, normalize: bool):
             d = d - d.mean(axis=-1, keepdims=True)
             d = d / jnp.maximum(
                 jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
-            desc = jnp.zeros_like(desc).at[:, :desc_dim].set(d)
+            # uniform rescale: invariant for L1/L2 match semantics (the
+            # ratio test is scale-free) but REQUIRED for the l2q8 metric,
+            # whose int8 quantization step (round(d/8)) maps unit-norm
+            # values (~±0.1) to all-zero descriptors otherwise
+            desc = jnp.zeros_like(desc).at[:, :desc_dim].set(d * 1024.0)
         r_safe = jnp.clip(state.match_lr[top], 0,
                           state.kp2.xy.shape[0] - 1)
         obs = jnp.concatenate([state.kp1.xy[top],
@@ -265,7 +272,10 @@ def run_with_loop_closure(frames, P1, P2,
             cfg, seed, backend,
             scope=(f"loop:{keyframe_every}:{min_gap}:{min_matches}:"
                    f"{min_inliers}:{max_keyframes}:{keyframe_budget}:"
-                   f"{loop_match_ratio}:{fingerprint_scope}"))
+                   f"{loop_match_ratio}:{verify_top_k}:"
+                   f"{min_seed_inliers}:{guided_radius}:{robust}:"
+                   f"{robust_delta}:{normalize_desc}:{loop_weight}:"
+                   f"{fingerprint_scope}"))
         ck = checkpoint.latest()
         if ck is not None:
             if ck.fingerprint != fingerprint:
@@ -495,7 +505,10 @@ def run_with_loop_closure(frames, P1, P2,
         return LoopClosureResult(poses=empty44, poses_vo=empty44,
                                  motions=empty6,
                                  frame_ok=np.zeros((0,), bool), loops=[],
-                                 graph_cost=(0.0, 0.0))
+                                 graph_cost=(0.0, 0.0),
+                                 loop_edge_scale=np.zeros((0,),
+                                                          np.float32),
+                                 candidates=[], processed=0)
     motions = np.stack(motions_l)
     oks = np.asarray(oks_l, bool)
     oks[0] = False
@@ -563,4 +576,5 @@ def run_with_loop_closure(frames, P1, P2,
                              motions=motions, frame_ok=oks, loops=loops,
                              graph_cost=graph_cost,
                              loop_edge_scale=loop_scale,
-                             candidates=candidates)
+                             candidates=candidates,
+                             processed=max(0, len(motions) - t0))

@@ -49,6 +49,7 @@ from libviso_tpu.geometry.essential import (
     undistort_points,
 )
 from libviso_tpu.geometry.mvg import e2h
+from libviso_tpu.utils.stats import masked_median, masked_quantile
 from libviso_tpu.ops.features import Keypoints, detect_and_describe
 from libviso_tpu.ops.matching import match_descriptors
 
@@ -105,19 +106,6 @@ def empty_mono_state(cfg: PipelineConfig, dtype=jnp.float32) -> MonoState:
                      t_pair=jnp.array([0.0, 0.0, 1.0], dtype))
 
 
-def _masked_quantile(x, valid, q):
-    """q-quantile of ``x`` over ``valid`` slots (inf when none), fixed
-    shapes (nearest-rank; q=0.5 is the median)."""
-    big = jnp.asarray(jnp.inf, x.dtype)
-    n = jnp.sum(valid.astype(jnp.int32))
-    xs = jnp.sort(jnp.where(valid, x, big))
-    k = jnp.clip((q * (n - 1).astype(x.dtype)).astype(jnp.int32),
-                 0, x.shape[0] - 1)
-    return xs[k]
-
-
-def _masked_median(x, valid):
-    return _masked_quantile(x, valid, 0.5)
 
 
 def _pair_parallax(R, x1, x2):
@@ -240,7 +228,7 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
         # current pair.  Low-parallax (near-FOE) depths magnify the
         # residual translation-direction error into the ratio.
         cond = jnp.minimum(state.parallax[idx2_safe], par)
-        thresh = _masked_quantile(cond, rv_all,
+        thresh = masked_quantile(cond, rv_all,
                                   1.0 - mono.parallax_keep_frac)
         rv = rv_all & (cond >= thresh)
         scale_support = jnp.sum(rv.astype(jnp.int32))
@@ -250,9 +238,9 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
         # the MAD gate drops that diffuse contamination while the tight
         # cluster of true three-view tracks keeps full weight.
         y_log = jnp.log(jnp.clip(ratio, 1e-3, 1e3))
-        mu = jnp.log(jnp.clip(_masked_median(ratio, rv), 1e-3, 1e3))
+        mu = jnp.log(jnp.clip(masked_median(ratio, rv), 1e-3, 1e3))
         for _ in range(4):  # static unroll
-            mad = _masked_median(jnp.abs(y_log - mu), rv)
+            mad = masked_median(jnp.abs(y_log - mu), rv)
             c = jnp.maximum(3.0 * 1.4826 * mad, 0.02)
             w_s = rv.astype(y_log.dtype) * (jnp.abs(y_log - mu) <= c)
             mu = jnp.sum(w_s * y_log) / jnp.maximum(jnp.sum(w_s), 1.0)
@@ -300,7 +288,7 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
             ridge = jnp.ones((11,), y_log.dtype).at[0].set(0.0)
             for _ in range(4):  # static unroll; MAD-gated IRLS
                 r = y_log - A @ beta
-                mad = _masked_median(jnp.abs(r), rv)
+                mad = masked_median(jnp.abs(r), rv)
                 c = jnp.maximum(3.0 * 1.4826 * mad, 0.02)
                 w_s = rv.astype(y_log.dtype) * (jnp.abs(r) <= c)
                 Aw = A * w_s[:, None]
@@ -337,10 +325,15 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
         T = jnp.zeros((4, 4), R.dtype).at[:3, :3].set(R)
         T = T.at[:3, 3].set(t).at[3, 3].set(1.0)
 
+        # scale evidence is only valid if THIS step was accepted: the
+        # host never multiplies a failed step's ratio into the running
+        # speed, so depths stored in a failed step's unit-baseline units
+        # would make the NEXT ratio wrong by one step factor (the chain
+        # must break at failed frames and fall back to constant velocity)
         new_state = MonoState(
             kp=kp, desc=d,
             depth=jnp.where(pts_good, z_cur, 0.0),
-            depth_valid=pts_good & (z_cur > 1e-6),
+            depth_valid=pts_good & (z_cur > 1e-6) & ok,
             parallax=jnp.where(pts_good, par, 0.0),
             depth_grad=jnp.where(pts_good[:, None], g1, 0.0),
             obs_prev=jnp.where(pts_good[:, None], xn_prev2, 0.0),

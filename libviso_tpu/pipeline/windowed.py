@@ -223,7 +223,7 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
             cfg, seed, backend,
             scope=f"ba:{window}:{stride}:{ba_iters}:T{T}:"
                   f"p{prior_strength}:o{outlier_px}:r{rerank_px}:"
-                  f"{fingerprint_scope}")
+                  f"c{min_cam_obs}:{fingerprint_scope}")
         ck = checkpoint.latest()
         if ck is not None:
             if ck.fingerprint != fingerprint:
@@ -293,12 +293,14 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         # local index 0 is the window's halo frame (no motion)
         motions[s + 1:e] = use[1:]
         motions_vo[s + 1:e] = np.asarray(out.motions)[1:]
-        # BA convergence vouches only for frames it actually observed:
-        # a frame whose tracks all broke (e.g. blackout) has an
-        # unconstrained camera and must stay not-ok even when the window
-        # BA around it converged
+        # BA convergence vouches only for the frames whose motions it
+        # actually REPLACED (motion_ok): a frame that fell back to its
+        # VO motion keeps its VO ok flag — marking it ok while applying
+        # a motion the VO itself flagged as failed (zeroed) would chain
+        # a bogus step into the trajectory.  `constrained` additionally
+        # requires the front-end to have observed the frame at all.
         constrained = np.asarray(out.num_circle)[1:] >= cfg.min_circle_matches
-        oks[s + 1:e] = out_ok[1:] | (bool(ok_ba) & constrained)
+        oks[s + 1:e] = out_ok[1:] | (motion_ok[1:] & constrained)
         if checkpoint is not None and (w + 1) % checkpoint.every == 0:
             _snapshot(w + 1)
 

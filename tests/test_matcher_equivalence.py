@@ -131,6 +131,7 @@ def test_l2q8_distances_within_quantization_noise(rng):
     assert np.max(np.abs(exact - quant)) < np.sqrt(128) * 4.0 + 1.0
 
 
+@pytest.mark.slow
 def test_l2q8_trajectory_matches_l2():
     """One representative sequence: the quantized mode lands in the same
     accuracy regime as exact l2 (the full battery gates the l2-vs-l1
