@@ -282,20 +282,15 @@ def _cmd_mono(args):
     else:
         K = vals.reshape(3, 3)
 
-    from libviso_tpu.io.kitti import _read_gray
+    from libviso_tpu.io.kitti import MonoImageStream
 
-    def frames():
-        i = args.begin
-        while args.end is None or i <= args.end:
-            path = args.image_mask % i
-            if not os.path.exists(path):
-                return
-            # shared reader: native libpng decode for .png, PIL otherwise
-            yield _read_gray(path)
-            i += 1
+    # native C++ prefetch decode (PNG/JPEG) with threaded PIL fallback —
+    # decode overlaps device compute exactly as in the stereo driver
+    stream = MonoImageStream(args.image_mask, begin=args.begin,
+                             end=args.end)
 
     t0 = time.perf_counter()
-    res = run_mono_sequence(frames(), K, seed=args.seed, mono=mono)
+    res = run_mono_sequence(stream, K, seed=args.seed, mono=mono)
     dt = time.perf_counter() - t0
     if args.out:
         from libviso_tpu.io.kitti import save_poses_kitti

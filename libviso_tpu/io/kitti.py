@@ -68,10 +68,13 @@ def _native():
         return None
 
 
+_NATIVE_EXTS = (".png", ".jpg", ".jpeg")
+
+
 def _read_gray(path: str) -> np.ndarray:
     nat = _native()
-    if nat is not None and path.lower().endswith(".png"):
-        return nat.decode_png_gray(path)
+    if nat is not None and path.lower().endswith(_NATIVE_EXTS):
+        return nat.decode_image_gray(path)
     from PIL import Image
 
     with Image.open(path) as im:
@@ -135,7 +138,8 @@ class StereoImageStream:
         nat = _native()
         if nat is not None:
             pairs = list(self._paths())
-            if all(p.lower().endswith(".png") for lr in pairs for p in lr):
+            if all(p.lower().endswith(_NATIVE_EXTS)
+                   for lr in pairs for p in lr):
                 # Native path: one C++ prefetch stream over the interleaved
                 # left/right list; workers decode `prefetch` frames ahead.
                 flat = [p for lr in pairs for p in lr]
@@ -174,3 +178,45 @@ class StereoImageStream:
                     raise failure[0]
                 return
             yield item
+
+
+class MonoImageStream:
+    """Single-camera analog of StereoImageStream (the reference's
+    MonoImageGenerator contract: printf mask, frames from ``begin`` until
+    ``end`` or the first missing file, src/calib_sfm.cpp:56-64).  Uses
+    the native C++ prefetch decoder (PNG/JPEG) when available, the
+    threaded PIL fallback otherwise."""
+
+    def __init__(self, mask: str, begin: int = 0,
+                 end: Optional[int] = None, prefetch: int = 4):
+        self.mask = mask
+        self.begin = begin
+        self.end = end
+        self.prefetch = prefetch
+
+    def skipped(self, n: int) -> "MonoImageStream":
+        return MonoImageStream(self.mask, begin=self.begin + n,
+                               end=self.end, prefetch=self.prefetch)
+
+    def _paths(self):
+        i = self.begin
+        while self.end is None or i <= self.end:
+            p = self.mask % i
+            if not os.path.exists(p):
+                return
+            yield p
+            i += 1
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        paths = list(self._paths())
+        nat = _native()
+        if (self.prefetch > 0 and nat is not None
+                and all(p.lower().endswith(_NATIVE_EXTS) for p in paths)):
+            threads = min(4, os.cpu_count() or 1)
+            with nat.NativeImageStream(paths, threads=threads,
+                                       depth=self.prefetch) as s:
+                for _ in range(len(paths)):
+                    yield s.next()
+            return
+        for p in paths:
+            yield _read_gray(p)

@@ -22,7 +22,7 @@ VN_EOS = 1
 
 _ERRORS = {
     -1: "cannot open file",
-    -2: "not a PNG",
+    -2: "unsupported image format (not PNG/JPEG)",
     -3: "PNG decode error",
     -4: "output buffer too small",
     -5: "bad stream handle",
@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.vn_decode_image_gray.restype = ctypes.c_int
+        lib.vn_decode_image_gray.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.vn_png_dims.restype = ctypes.c_int
         lib.vn_png_dims.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -71,7 +77,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.vn_stream_close.restype = None
         lib.vn_stream_close.argtypes = [ctypes.c_void_p]
-        if lib.vn_version() != 1:
+        if lib.vn_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -108,6 +114,23 @@ def decode_png_gray(path: str) -> np.ndarray:
     if rc != VN_OK:
         raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
     return out
+
+
+def decode_image_gray(path: str,
+                      max_hw: Tuple[int, int] = (4096, 8192)) -> np.ndarray:
+    """Decode a PNG or JPEG (magic-sniffed) to (H, W) uint8 grayscale."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    cap = max_hw[0] * max_hw[1]
+    buf = np.empty(cap, dtype=np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.vn_decode_image_gray(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, ctypes.byref(h), ctypes.byref(w))
+    if rc != VN_OK:
+        raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
+    return buf[: h.value * w.value].reshape(h.value, w.value).copy()
 
 
 class NativeImageStream:

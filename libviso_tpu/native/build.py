@@ -41,7 +41,7 @@ def build(verbose: bool = False) -> str | None:
     # interleave g++ output into one file
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-        _SRC, "-lpng", "-lz", "-o", tmp,
+        _SRC, "-lpng", "-ljpeg", "-lz", "-o", tmp,
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,

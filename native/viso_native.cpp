@@ -10,15 +10,25 @@
 //
 // C ABI (consumed via ctypes from libviso_tpu/native/__init__.py):
 //   vn_decode_png_gray   one-shot decode of a PNG file to 8-bit grayscale
+//   vn_decode_image_gray one-shot decode with magic-byte format sniffing
+//                        (PNG or JPEG -> 8-bit grayscale; the mono driver
+//                        reads the reference's img-%04d.jpg contract,
+//                        src/calib_sfm.cpp:56-64)
 //   vn_png_dims          peek (height, width) without full decode
 //   vn_stream_open/next/close
 //                        threaded in-order prefetch over a path list
+//                        (per-file format sniffing, PNG or JPEG)
 //   vn_version           ABI version stamp
 //
-// Build: g++ -O3 -fPIC -shared -pthread viso_native.cpp -lpng -lz
+// Build: g++ -O3 -fPIC -shared -pthread viso_native.cpp -lpng -ljpeg -lz
 //        (see libviso_tpu/native/build.py)
 
+#include <cstdio>   // jpeglib.h needs FILE declared before inclusion
+
+#include <jpeglib.h>
 #include <png.h>
+
+#include <csetjmp>
 
 #include <atomic>
 #include <condition_variable>
@@ -33,14 +43,14 @@
 
 namespace {
 
-constexpr int kAbiVersion = 1;
+constexpr int kAbiVersion = 2;
 
 // Error codes (negative; 0 = ok, 1 = end-of-stream for vn_stream_next).
 enum VnError {
   VN_OK = 0,
   VN_EOS = 1,
   VN_ERR_OPEN = -1,
-  VN_ERR_NOT_PNG = -2,
+  VN_ERR_BAD_FORMAT = -2,  // not a PNG/JPEG
   VN_ERR_DECODE = -3,
   VN_ERR_CAPACITY = -4,
   VN_ERR_BAD_HANDLE = -5,
@@ -65,7 +75,7 @@ int decode_png_gray(const char* path, GrayImage* out) {
   png_byte header[8];
   if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
     std::fclose(fp);
-    return VN_ERR_NOT_PNG;
+    return VN_ERR_BAD_FORMAT;
   }
 
   png_structp png =
@@ -120,6 +130,70 @@ int decode_png_gray(const char* path, GrayImage* out) {
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
   return VN_OK;
+}
+
+
+// Decode one JPEG file to tightly-packed 8-bit grayscale rows via libjpeg's
+// native JCS_GRAYSCALE output (IJG luma for color inputs — the same ITU-R
+// 601 weighting class as the PNG path and PIL's convert("L")).
+struct VnJpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jump;
+};
+
+void vn_jpeg_error_exit(j_common_ptr cinfo) {
+  VnJpegErr* err = reinterpret_cast<VnJpegErr*>(cinfo->err);
+  std::longjmp(err->jump, 1);
+}
+
+int decode_jpeg_gray(const char* path, GrayImage* out) {
+  std::FILE* fp = std::fopen(path, "rb");
+  if (!fp) return VN_ERR_OPEN;
+
+  jpeg_decompress_struct cinfo;
+  VnJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = vn_jpeg_error_exit;
+  if (setjmp(jerr.jump)) {  // libjpeg's fatal-error path longjmps here
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return VN_ERR_DECODE;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return VN_ERR_DECODE;
+  }
+  cinfo.out_color_space = JCS_GRAYSCALE;
+  jpeg_start_decompress(&cinfo);
+
+  out->height = static_cast<int>(cinfo.output_height);
+  out->width = static_cast<int>(cinfo.output_width);
+  out->pixels.resize(static_cast<size_t>(out->height) * out->width);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out->pixels.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * out->width;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+  return VN_OK;
+}
+
+// Magic-byte dispatch: PNG (\x89PNG) or JPEG (\xFF\xD8).
+int decode_image_gray(const char* path, GrayImage* out) {
+  std::FILE* fp = std::fopen(path, "rb");
+  if (!fp) return VN_ERR_OPEN;
+  unsigned char magic[2] = {0, 0};
+  const size_t got = std::fread(magic, 1, 2, fp);
+  std::fclose(fp);
+  if (got != 2) return VN_ERR_DECODE;
+  if (magic[0] == 0xFF && magic[1] == 0xD8) return decode_jpeg_gray(path, out);
+  if (magic[0] == 0x89 && magic[1] == 'P') return decode_png_gray(path, out);
+  return VN_ERR_BAD_FORMAT;
 }
 
 // In-order prefetch executor.  Worker threads claim indices from an atomic
@@ -191,7 +265,7 @@ class PrefetchStream {
         idx = next_claim_++;
       }
       GrayImage img;
-      img.status = decode_png_gray(paths_[idx].c_str(), &img);
+      img.status = decode_image_gray(paths_[idx].c_str(), &img);
       {
         std::lock_guard<std::mutex> lock(mu_);
         done_[idx] = std::move(img);
@@ -233,6 +307,20 @@ int vn_decode_png_gray(const char* path, uint8_t* out, int64_t cap, int* h,
   return VN_OK;
 }
 
+// Decode PNG or JPEG (magic-byte sniffed) into the caller buffer.
+int vn_decode_image_gray(const char* path, uint8_t* out, int64_t cap,
+                         int* h, int* w) {
+  GrayImage img;
+  int rc = decode_image_gray(path, &img);
+  if (rc != VN_OK) return rc;
+  const int64_t n = static_cast<int64_t>(img.height) * img.width;
+  if (n > cap) return VN_ERR_CAPACITY;
+  std::memcpy(out, img.pixels.data(), static_cast<size_t>(n));
+  *h = img.height;
+  *w = img.width;
+  return VN_OK;
+}
+
 // Read only the IHDR to get dimensions (no pixel decode).
 int vn_png_dims(const char* path, int* h, int* w) {
   FILE* fp = std::fopen(path, "rb");
@@ -242,7 +330,7 @@ int vn_png_dims(const char* path, int* h, int* w) {
   if (std::fread(buf, 1, 24, fp) != 24 || png_sig_cmp(buf, 0, 8) ||
       std::memcmp(buf + 12, "IHDR", 4) != 0) {
     std::fclose(fp);
-    return VN_ERR_NOT_PNG;
+    return VN_ERR_BAD_FORMAT;
   }
   std::fclose(fp);
   *w = (buf[16] << 24) | (buf[17] << 16) | (buf[18] << 8) | buf[19];

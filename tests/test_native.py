@@ -147,3 +147,61 @@ def test_pil_fallback_propagates_decode_errors(tmp_path, rng, monkeypatch):
     next(it)  # frame 0 decodes fine
     with pytest.raises(Exception):
         list(it)  # frame 1 must raise, not end the stream
+
+
+def test_decode_jpeg_matches_pil(tmp_path):
+    """Native libjpeg grayscale decode is bit-identical to PIL's (same
+    IJG decoder underneath)."""
+    from PIL import Image
+
+    from libviso_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (48, 80), dtype=np.uint8)
+    p = str(tmp_path / "t.jpg")
+    Image.fromarray(arr).save(p, quality=92)
+    ours = native.decode_image_gray(p)
+    ref = np.asarray(Image.open(p).convert("L"), dtype=np.uint8)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_stream_mixed_formats(tmp_path):
+    from PIL import Image
+
+    from libviso_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(4)
+    paths = []
+    arrs = []
+    for i, ext in enumerate([".png", ".jpg", ".png"]):
+        a = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+        p = str(tmp_path / f"f{i}{ext}")
+        Image.fromarray(a).save(p)
+        paths.append(p)
+        arrs.append(a)
+    with native.NativeImageStream(paths, threads=2, depth=2) as s:
+        out = list(s)
+    assert len(out) == 3
+    np.testing.assert_array_equal(out[0], arrs[0])  # png lossless
+    np.testing.assert_array_equal(out[2], arrs[2])
+
+
+def test_mono_image_stream(tmp_path):
+    from PIL import Image
+
+    from libviso_tpu.io.kitti import MonoImageStream
+
+    rng = np.random.default_rng(5)
+    for i in range(1, 4):
+        a = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        Image.fromarray(a).save(str(tmp_path / f"img-{i:04d}.jpg"))
+    frames = list(MonoImageStream(str(tmp_path / "img-%04d.jpg"), begin=1))
+    assert len(frames) == 3
+    assert frames[0].shape == (24, 32)
+    # skipped() starts later
+    assert len(list(MonoImageStream(str(tmp_path / "img-%04d.jpg"),
+                                    begin=1).skipped(2))) == 1
