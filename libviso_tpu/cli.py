@@ -164,6 +164,11 @@ def _cmd_kitti(args):
                 every=args.checkpoint_every)
         res = run_with_loop_closure(
             list(stream), P1, P2, cfg,
+            keyframe_every=args.keyframe_every,
+            min_gap=args.loop_min_gap,
+            min_matches=args.loop_min_matches,
+            min_inliers=args.loop_min_inliers,
+            robust=args.loop_robust,
             seed=args.seed, backend=args.backend,
             checkpoint=lc_ckpt,
             fingerprint_scope=f"{args.seq}:{args.begin}:{args.end}",
@@ -171,9 +176,16 @@ def _cmd_kitti(args):
                      if args.save_debug else None))
         stats = [{"frame": t, "ok": bool(res.frame_ok[t])}
                  for t in range(len(res.poses))]
+        # every verification attempt lands in metrics.jsonl (threshold
+        # tuning needs the rejected candidates, not just the accepted)
+        stats += [{"loop_candidate": c} for c in (res.candidates or [])]
         extra["loops"] = [
             {"new": le.frame_new, "old": le.frame_old,
-             "inliers": le.num_inliers} for le in res.loops]
+             "inliers": le.num_inliers,
+             "edge_scale": (float(res.loop_edge_scale[i])
+                            if res.loop_edge_scale is not None
+                            and i < len(res.loop_edge_scale) else None)}
+            for i, le in enumerate(res.loops)]
         extra["graph_cost"] = list(res.graph_cost)
     else:
         ckpt = None
@@ -381,6 +393,19 @@ def main(argv=None):
                    help="detect revisits and remove accumulated drift "
                         "with pose-graph optimization (beyond-reference; "
                         "docs/architecture.md)")
+    k.add_argument("--keyframe-every", type=int, default=5,
+                   help="loop closure: store a keyframe every N frames")
+    k.add_argument("--loop-min-gap", type=int, default=20,
+                   help="loop closure: min frame separation for a "
+                        "revisit candidate")
+    k.add_argument("--loop-min-matches", type=int, default=60,
+                   help="loop closure: appearance-match count gate "
+                        "(above the aliasing floor)")
+    k.add_argument("--loop-min-inliers", type=int, default=30,
+                   help="loop closure: refined-verification inlier gate")
+    k.add_argument("--loop-robust", default="cauchy",
+                   choices=["cauchy", "huber", "none"],
+                   help="pose-graph robust kernel on loop edges")
     k.add_argument("--save-debug", action="store_true",
                    help="write per-frame debug artifacts under "
                         "results/.../dbg (reference param.save_debug)")
