@@ -133,9 +133,11 @@ def _cmd_kitti(args):
             ba_ckpt = CheckpointManager(
                 os.path.join(result_dir, "checkpoints", "ba"),
                 every=args.checkpoint_every)
+        stride = (args.ba_stride if args.ba_stride > 0
+                  else max(args.ba_window // 2, 1))
         res = run_windowed_ba(list(stream), P1, P2, cfg,
                               window=args.ba_window,
-                              stride=max(args.ba_window // 2, 1),
+                              stride=stride,
                               seed=args.seed, backend=args.backend,
                               checkpoint=ba_ckpt,
                               outlier_px=args.ba_outlier_px,
@@ -378,6 +380,9 @@ def main(argv=None):
     k.add_argument("--ba-window", type=int, default=0, metavar="W",
                    help="refine with sliding-window bundle adjustment of "
                         "W frames, stride W/2 (0 = off)")
+    k.add_argument("--ba-stride", type=int, default=0,
+                   help="window start spacing (default 0 = window/2; "
+                        "stride < window overlaps consecutive windows)")
     k.add_argument("--ba-prior", type=float, default=1.0,
                    help="cross-window marginalization-prior strength: "
                         "each window's overlap motions are anchored at "
