@@ -225,3 +225,24 @@ def test_loop_closure_debug_dump(tmp_path):
     names = os.listdir(dbg)
     assert any(n.startswith("corners1_") for n in names)
     assert any(n.startswith("blend12_") for n in names)
+
+
+@pytest.mark.slow
+def test_loop_detected_under_l2q8_metric():
+    """The int8-quantized metric must not silently break revisit
+    detection: normalized keyframe descriptors are rescaled x1024 before
+    storage precisely so round(d/8) keeps signal (a unit-norm store
+    quantizes to all-zero and every loop candidate dies).  Same circle
+    as the baseline detection test, metric l2q8."""
+    seq = _circle_sequence()
+    res = run_with_loop_closure(
+        list(seq.frames), seq.P1, seq.P2,
+        cfg=tiny_config().with_metric("l2q8"),
+        keyframe_every=4, min_gap=24, min_matches=40, min_inliers=20,
+        seed=0)
+    assert res.frame_ok[1:].mean() > 0.8
+    assert len(res.loops) >= 1
+    gt = seq.gt_poses
+    err_vo = np.linalg.norm(res.poses_vo[-1, :3, 3] - gt[-1, :3, 3])
+    err_opt = np.linalg.norm(res.poses[-1, :3, 3] - gt[-1, :3, 3])
+    assert err_opt < err_vo
