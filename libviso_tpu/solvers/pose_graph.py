@@ -173,16 +173,18 @@ def optimize_pose_graph(poses, edges_i, edges_j, z, weights=None,
         return jnp.where(better, x_new, xf), None
 
     xf0 = jnp.zeros((6 * Tn,), T0.dtype)
-    sc0 = irls_scale(edge_res(xf0))
-    cost0 = cost_of(xf0, sc0)
     xf, _ = jax.lax.scan(gn_step, xf0, None, length=iters)
     sc = irls_scale(edge_res(xf))
     cost = cost_of(xf, sc)
+    # acceptance compares initial and final cost under the SAME (final)
+    # IRLS scaling — comparing costs under different scalings is not an
+    # ordering (a genuinely better solution whose scaling changed could
+    # be rejected, and vice versa).  cost0 is still REPORTED under the
+    # final scaling for the same reason: callers read (cost0, cost) as
+    # one consistent objective.
+    cost0 = cost_of(xf0, sc)
 
     out = apply_delta(xf)
-    # acceptance compares the ROBUST costs: with redescending kernels the
-    # final cost is evaluated under the final (frozen) scaling, which can
-    # only shrink edge influence, so cost <= cost0 remains the right test
     ok = jnp.isfinite(cost) & (cost <= cost0)
     out = jnp.where(ok, out, T0)
     return PoseGraphResult(poses=out, cost0=cost0, cost=cost, ok=ok,
