@@ -283,3 +283,28 @@ def test_rectification_warp_roundtrip(rng):
     # predicted: p_rect = K R K^-1 p_src
     p = np.asarray(K) @ np.asarray(R) @ np.linalg.inv(np.asarray(K)) @ [71, 31, 1]
     assert abs(xx - p[0] / p[2]) < 2 and abs(yy - p[1] / p[2]) < 2
+
+
+def test_euler_round_trip_near_gimbal_lock(rng):
+    """Matrix-level round trip pose->matrix->pose->matrix near AND AT the
+    ry=+-90deg singularity.  The VECTOR is not unique there (rx/rz
+    couple), but the reconstructed MATRIX must still reproduce: measured
+    worst f32 error 1.2e-7 away from the singularity, ~4e-5 within 0.1
+    deg of it, exact-at-singularity fine (atan2(0,0)=0 picks a valid
+    member of the gimbal family).  Loop-closure edges at ~90 deg heading
+    difference ride this path (pipeline/loop.py LoopEdge.tr)."""
+    from libviso_tpu.geometry.se3 import (
+        matrix_to_pose_vector,
+        pose_vector_to_matrix,
+    )
+
+    for dist_deg, tol in [(10.0, 1e-5), (1.0, 1e-5), (0.1, 2e-4),
+                          (0.0, 1e-5)]:
+        for _ in range(20):
+            ry = np.radians(90 - dist_deg) * (1 if rng.random() < .5
+                                              else -1)
+            tr = np.array([rng.uniform(-3, 3), ry, rng.uniform(-3, 3),
+                           *rng.uniform(-5, 5, 3)], np.float32)
+            T = pose_vector_to_matrix(jnp.asarray(tr))
+            T2 = pose_vector_to_matrix(matrix_to_pose_vector(T))
+            assert float(jnp.abs(T - T2).max()) < tol, (dist_deg, tr)
