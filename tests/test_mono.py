@@ -99,3 +99,34 @@ def test_mono_direction_accuracy(mono_run):
         dR = d_est[:3, :3].T @ d_gt[:3, :3]
         ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
         assert ang < 0.01, (k, ang)
+
+
+@pytest.mark.slow
+def test_mono_scale_propagation_under_sensor_noise():
+    """Scale propagation must survive realistic sensor noise: measured
+    drift 1.4-3.1% at sigma 2-4 DN on the variable-speed sequence (the
+    three-view bundle's Tukey weighting absorbs the observation noise).
+    Bound at 6% — above the measured worst, below anything a broken
+    estimator produces (constant-speed fallback alone drifts 20%+ on
+    this speed profile)."""
+    from libviso_tpu.synthetic import Imaging
+
+    T = 10
+    speeds_gt = np.array([0.0, 0.8, 0.5, 1.1, 0.7, 1.2, 0.6, 1.0, 0.9,
+                          1.15])
+    traj = np.zeros((T, 6))
+    traj[:, 5] = speeds_gt
+    traj[1:, 1] = 0.004
+    seq = generate_sequence(num_frames=T, num_points=400, seed=21,
+                            width=620, height=188, patch=9,
+                            subpixel_render=True, pattern_smooth=1.0,
+                            trajectory=traj,
+                            imaging=Imaging(noise_sigma=4.0))
+    cfg = mono_config()
+    cfg = dataclasses.replace(
+        cfg, detector=dataclasses.replace(cfg.detector, subpixel=True))
+    res = run_mono_sequence([f[0] for f in seq.frames], seq.P1[:, :3],
+                            cfg, seed=0)
+    assert res.frame_ok[1:].all(), res.stats
+    ratio = res.speeds[1:] / speeds_gt[1:]
+    assert np.abs(ratio / ratio[0] - 1.0).max() < 0.06, ratio
