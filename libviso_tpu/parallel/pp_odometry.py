@@ -88,7 +88,8 @@ def build_pipelined_program(calib: Calib, F, cfg: PipelineConfig,
                 return FrameOutput(
                     tr=jnp.zeros((6,), dtype), ok=jnp.zeros((), bool),
                     num_circle=z, num_inliers=z, num_lr=z, num_kp1=z,
-                    rms=jnp.zeros((), dtype))
+                    rms=jnp.zeros((), dtype),
+                    sharpness=jnp.zeros((), dtype))
 
             def stage0(si_in, state, k):
                 # prepare frame k (clamped past the end: those ticks'

@@ -59,6 +59,14 @@ class FrameOutput(NamedTuple):
     num_kp1: jax.Array      # () int32 detected left corners
     rms: jax.Array          # () reprojection RMS over the support
     #                         (reference logs it, viso.cpp:1577-1578)
+    # mean Harris response over detected corners: an image-sharpness
+    # health signal.  Measured (docs/realism.md "Breaking points"):
+    # heavy defocus biases corner localization CONSISTENTLY, so the
+    # ok/rms consistency checks stay green while the trajectory walks
+    # meters off — response mass collapses with blur and is the cheap
+    # observable that does trip.  ~free: the responses are already in
+    # registers at detection time.
+    sharpness: jax.Array    # () float
 
 
 class FrameDebug(NamedTuple):
@@ -134,6 +142,7 @@ class SolveInput(NamedTuple):
     circ_count: jax.Array  # () int32
     num_lr: jax.Array      # () int32 (FrameOutput stats)
     num_kp1: jax.Array     # () int32
+    sharpness: jax.Array   # () float (FrameOutput health signal)
 
 
 def zero_solve_input(cfg: PipelineConfig, dtype=jnp.float32) -> SolveInput:
@@ -144,7 +153,7 @@ def zero_solve_input(cfg: PipelineConfig, dtype=jnp.float32) -> SolveInput:
     return SolveInput(
         Xp=jnp.zeros((n, 3), dtype), obs=jnp.zeros((n, 4), dtype),
         pts_valid=jnp.zeros((n,), bool), circ_count=z, num_lr=z,
-        num_kp1=z)
+        num_kp1=z, sharpness=jnp.zeros((), dtype))
 
 
 def build_prepare(calib: Calib, F, cfg: PipelineConfig,
@@ -184,10 +193,13 @@ def build_prepare(calib: Calib, F, cfg: PipelineConfig,
             kp1=kp1, kp2=kp2, d1=d1, d2=d2,
             match_lr=mlr.idx, X=X, X_valid=mlr.valid,
         )
+        n_kp1 = jnp.sum(kp1.valid.astype(jnp.int32))
         si = SolveInput(
             Xp=Xp, obs=obs, pts_valid=pts_valid, circ_count=circ.count,
             num_lr=jnp.sum(mlr.valid.astype(jnp.int32)),
-            num_kp1=jnp.sum(kp1.valid.astype(jnp.int32)))
+            num_kp1=n_kp1,
+            sharpness=(jnp.sum(jnp.where(kp1.valid, kp1.response, 0.0))
+                       / jnp.maximum(n_kp1, 1)))
         return new_state, si, circ
 
     return prepare
@@ -216,6 +228,7 @@ def build_solve(calib: Calib, cfg: PipelineConfig, debug: bool = False):
             num_lr=si.num_lr,
             num_kp1=si.num_kp1,
             rms=est.rms,
+            sharpness=si.sharpness,
         )
         if debug:
             from libviso_tpu.solvers.gauss_newton import stereo_predict
@@ -407,6 +420,7 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
                 "num_circle": int(out.num_circle),
                 "num_inliers": int(out.num_inliers),
                 "reproj_rms": float(out.rms),
+                "sharpness": float(out.sharpness),
             })
         pending.clear()
 

@@ -102,6 +102,39 @@ def test_occluders_paint_both_views():
     assert not np.array_equal(d_clean, d_pert)
 
 
+def test_sharpness_health_signal_trips_on_defocus():
+    """The per-frame `sharpness` stat (mean Harris response over detected
+    corners, pipeline/stereo.py::FrameOutput) must catch the one measured
+    silent-failure regime: heavy defocus biases corner localization
+    CONSISTENTLY, so the solver's ok/rms consistency checks stay green
+    while the trajectory walks off (docs/realism.md "Breaking points":
+    blur sigma=3 -> meters of ATE, frames still ok).
+
+    Measured (seed 100, this config): clean mean sharpness 0.80,
+    noise sigma=6 -> 0.81 (UNCHANGED: the alarm is blur-specific, sensor
+    noise must not fake it), blur sigma=3 -> 0.0023 (~350x collapse).
+    Bounds leave ~2x headroom over those measurements."""
+    out = {}
+    for name, img in [("clean", None),
+                      ("blur3", Imaging(blur_sigma=3.0)),
+                      ("noise6", Imaging(noise_sigma=6.0))]:
+        seq = generate_sequence(seed=100, **SHAPE, imaging=img)
+        res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, CFG, seed=100)
+        sharp = np.mean([s["sharpness"] for s in res.stats])
+        out[name] = (sharp, ate_rmse(res.poses, seq.gt_poses),
+                     int(res.frame_ok[1:].sum()), len(res.frame_ok) - 1)
+
+    clean, blur3, noise6 = out["clean"], out["blur3"], out["noise6"]
+    # the dangerous regime: trajectory is wrong, flags mostly green...
+    assert blur3[1] > 0.3, blur3
+    assert blur3[2] >= blur3[3] - 1, blur3
+    # ...and sharpness is the observable that trips (>50x collapse)
+    assert blur3[0] < 0.02 * clean[0], (blur3[0], clean[0])
+    # sensor noise must NOT trip the blur alarm
+    assert 0.75 * clean[0] < noise6[0] < 1.25 * clean[0], (noise6[0],
+                                                           clean[0])
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["f+2%", "cu+3px", "base+2%", "base+10%"])
 def test_miscalibration_sensitivity(name):
