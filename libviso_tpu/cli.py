@@ -49,6 +49,16 @@ def _add_cfg_flags(parser):
         "--pyramid", type=int, default=None, metavar="L",
         help="multi-scale detection over L pyramid levels "
              "(beyond-reference)")
+    parser.add_argument(
+        "--sharpen", type=float, default=None, metavar="SIGMA",
+        help="unsharp-mask preconditioner for defocused imagery "
+             "(beyond-reference): Gaussian sigma in px; restores the "
+             "silent heavy-blur failure regime (measured blur-sigma-3 "
+             "ATE 0.60 -> 0.08 m at --sharpen 3; docs/realism.md). "
+             "Enable when the per-frame `sharpness` stat collapses")
+    parser.add_argument(
+        "--sharpen-amount", type=float, default=None, metavar="A",
+        help="high-pass gain for --sharpen (default 4.0)")
 
 
 def _apply_cfg_flags(cfg, args):
@@ -68,6 +78,10 @@ def _apply_cfg_flags(cfg, args):
         det["subpixel"] = True
     if getattr(args, "pyramid", None) is not None:
         det["pyramid_levels"] = args.pyramid
+    if getattr(args, "sharpen", None) is not None:
+        det["sharpen_sigma"] = args.sharpen
+    if getattr(args, "sharpen_amount", None) is not None:
+        det["sharpen_amount"] = args.sharpen_amount
     if det:
         cfg = dataclasses.replace(
             cfg, detector=dataclasses.replace(cfg.detector, **det))

@@ -81,12 +81,25 @@ class DetectorConfig:
     # Beyond-reference options (BASELINE config 3):
     pyramid_levels: int = 1  # >1 enables multi-scale detection
     subpixel: bool = False   # quadratic subpixel corner refinement
+    # Unsharp-mask preconditioner for defocused imagery (beyond-reference;
+    # both views, before detection AND description).  Heavy defocus is the
+    # one measured SILENT failure regime (docs/realism.md breaking points:
+    # blur sigma=3 walks meters off while every frame reports ok);
+    # sharpening restores it — measured ATE at blur sigma=3: 0.60 -> 0.08 m
+    # with (sigma=3, amount=4).  Off by default (reference parity; also
+    # amplifies sensor noise, so enable it when the per-frame `sharpness`
+    # stat collapses, not unconditionally).  Pure VPU shifted-adds that XLA
+    # fuses into the Harris pipeline (ops/features.py::unsharp_mask).
+    sharpen_sigma: float = 0.0   # Gaussian sigma [px]; 0 disables
+    sharpen_amount: float = 4.0  # high-pass gain when enabled
 
     def __post_init__(self):
         if self.descriptor_gather not in ("onehot", "take"):
             raise ValueError(
                 f"descriptor_gather must be 'onehot' or 'take', got "
                 f"{self.descriptor_gather!r}")
+        if self.sharpen_sigma < 0:
+            raise ValueError("sharpen_sigma must be >= 0")
 
     @property
     def corners_per_bin(self) -> int:

@@ -58,6 +58,29 @@ def _conv1d(img, kernel, axis):
     return out
 
 
+def unsharp_mask(img, sigma: float, amount: float):
+    """Separable Gaussian unsharp mask: ``img + amount*(img - G(img))``,
+    clipped to [0, 255].
+
+    Defocus mitigation (DetectorConfig.sharpen_sigma): restores the
+    corner contrast that heavy blur destroys — the one measured regime
+    where the solver goes CONFIDENTLY wrong (docs/realism.md).  Taps
+    match scipy.ndimage.gaussian_filter (truncate=4), under which the
+    gain was measured; border is REFLECT_101 like every other conv here.
+    Static kernel at trace time; the shifted adds are VPU work XLA
+    fuses with the downstream Sobel/Harris convs.
+    """
+    import math
+
+    radius = int(4.0 * sigma + 0.5)
+    raw = [math.exp(-0.5 * (i / sigma) ** 2)
+           for i in range(-radius, radius + 1)]
+    s = sum(raw)
+    taps = tuple(v / s for v in raw)
+    low = _conv1d(_conv1d(img, taps, 0), taps, 1)
+    return jnp.clip(img + amount * (img - low), 0.0, 255.0)
+
+
 def sobel_derivatives(img, ksize=3, dx=True, scale=1.0):
     """OpenCV-compatible Sobel derivative of a (H, W) image.
 
@@ -234,6 +257,8 @@ def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig()):
     img = jnp.asarray(img)
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)
+    if cfg.sharpen_sigma > 0:
+        img = unsharp_mask(img, cfg.sharpen_sigma, cfg.sharpen_amount)
     if cfg.pyramid_levels > 1:
         from libviso_tpu.ops.pyramid import detect_and_describe_multiscale
 

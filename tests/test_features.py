@@ -171,3 +171,24 @@ def test_descriptor_gather_onehot_bitexact():
     d_take = extract_descriptors(
         img, kp, dataclasses.replace(cfg, descriptor_gather="take"))
     np.testing.assert_array_equal(np.asarray(d_onehot), np.asarray(d_take))
+
+
+def test_unsharp_mask_matches_scipy(rng):
+    """unsharp_mask must reproduce the host formula it was tuned under
+    (scipy gaussian_filter, truncate=4 — docs/realism.md measured the
+    blur-sigma-3 recovery with this operator).  Border: REFLECT_101,
+    the repo-wide convention (= scipy "mirror"; the tuning run used
+    scipy's edge-repeating default, which differs only inside the
+    radius-wide border band)."""
+    from scipy.ndimage import gaussian_filter
+
+    from libviso_tpu.ops.features import unsharp_mask
+
+    img = rng.integers(0, 256, (96, 256)).astype(np.float32)
+    for sigma, amount in ((1.5, 2.0), (3.0, 4.0)):
+        want = np.clip(
+            img + amount * (img - gaussian_filter(img, sigma,
+                                                  mode="mirror")),
+            0.0, 255.0)
+        got = np.asarray(unsharp_mask(jnp.asarray(img), sigma, amount))
+        np.testing.assert_allclose(got, want, atol=2e-3)
