@@ -59,6 +59,11 @@ def _add_cfg_flags(parser):
     parser.add_argument(
         "--sharpen-amount", type=float, default=None, metavar="A",
         help="high-pass gain for --sharpen (default 4.0)")
+    parser.add_argument(
+        "--sharpen-auto", action="store_true",
+        help="with --sharpen: apply the mask only on frames whose "
+             "in-graph blur metric says they are defocused (sharp "
+             "frames are bit-exact no-ops; safe to leave on)")
 
 
 def _apply_cfg_flags(cfg, args):
@@ -82,6 +87,8 @@ def _apply_cfg_flags(cfg, args):
         det["sharpen_sigma"] = args.sharpen
     if getattr(args, "sharpen_amount", None) is not None:
         det["sharpen_amount"] = args.sharpen_amount
+    if getattr(args, "sharpen_auto", False):
+        det["sharpen_auto"] = True
     if det:
         cfg = dataclasses.replace(
             cfg, detector=dataclasses.replace(cfg.detector, **det))

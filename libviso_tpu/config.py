@@ -92,6 +92,15 @@ class DetectorConfig:
     # fuses into the Harris pipeline (ops/features.py::unsharp_mask).
     sharpen_sigma: float = 0.0   # Gaussian sigma [px]; 0 disables
     sharpen_amount: float = 4.0  # high-pass gain when enabled
+    # Auto mode: apply the mask only on frames whose in-graph blur
+    # metric (ops/features.py::blur_metric — scene- and noise-
+    # independent, measured ~0.37 sharp vs ~0.19-0.24 defocused) falls
+    # below the trigger.  Sharp frames are bit-exact no-ops, so auto
+    # mode is safe to leave on for rigs that may defocus.  Combined
+    # HEAVY noise+defocus is not recoverable either way — but it fails
+    # loudly (ok flags drop), unlike pure defocus (docs/realism.md).
+    sharpen_auto: bool = False
+    sharpen_trigger: float = 0.28
 
     def __post_init__(self):
         if self.descriptor_gather not in ("onehot", "take"):

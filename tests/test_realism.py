@@ -182,3 +182,52 @@ def test_sharpen_recovers_defocus_regime():
     res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg, seed=100)
     assert res.frame_ok[1:].all()
     assert ate_rmse(res.poses, seq.gt_poses) < 0.2
+
+
+def test_blur_metric_scene_and_noise_independent():
+    """blur_metric must separate defocus from everything else: measured
+    ~0.37 on sharp frames regardless of texture smoothness AND of sensor
+    noise up to sigma 12 (sigma-1 pre-smoothing cancels the noise floor),
+    vs ~0.19-0.24 under blur sigma 2-3 even when noisy.  The default
+    sharpen_trigger=0.28 sits in the measured gap."""
+    from libviso_tpu.ops.features import blur_metric
+
+    def m(img_model, smooth=1.0):
+        seq = generate_sequence(seed=100, width=620, height=188,
+                                num_frames=2, num_points=400, patch=9,
+                                subpixel_render=True,
+                                pattern_smooth=smooth, imaging=img_model)
+        return float(blur_metric(np.asarray(seq.frames[1][0],
+                                            np.float32)))
+
+    for smooth in (0.5, 2.0):
+        assert m(None, smooth) > 0.32, smooth
+    assert m(Imaging(noise_sigma=12.0)) > 0.32
+    assert m(Imaging(blur_sigma=2.0)) < 0.28
+    assert m(Imaging(blur_sigma=3.0)) < 0.25
+    assert m(Imaging(blur_sigma=3.0, noise_sigma=12.0)) < 0.25
+
+
+def test_sharpen_auto_noop_on_sharp_and_recovers_defocus():
+    """sharpen_auto must be a bit-exact no-op on sharp frames (the
+    select picks the raw image) and must still recover the silent
+    defocus regime when frames measure blurred."""
+    import dataclasses
+
+    auto = dataclasses.replace(
+        CFG, detector=dataclasses.replace(
+            CFG.detector, sharpen_sigma=3.0, sharpen_amount=4.0,
+            sharpen_auto=True))
+
+    seq = generate_sequence(seed=100, **SHAPE)
+    base = run_stereo_sequence(seq.frames, seq.P1, seq.P2, CFG, seed=100)
+    res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, auto, seed=100)
+    np.testing.assert_array_equal(res.motions, base.motions)
+    np.testing.assert_array_equal(res.frame_ok, base.frame_ok)
+
+    blurred = generate_sequence(seed=100, **SHAPE,
+                                imaging=Imaging(blur_sigma=3.0))
+    res = run_stereo_sequence(blurred.frames, blurred.P1, blurred.P2,
+                              auto, seed=100)
+    assert res.frame_ok[1:].all()
+    assert ate_rmse(res.poses, blurred.gt_poses) < 0.2
