@@ -88,6 +88,10 @@ class MonoOutput(NamedTuple):
     # support is empty; host gates on scale_support)
     scale_ratio: jax.Array    # () float
     scale_support: jax.Array  # () int32
+    # mean Harris response over detected corners — the defocus health
+    # signal (same semantics as stereo FrameOutput.sharpness; the mono
+    # solver flags are consistency checks too, docs/realism.md)
+    sharpness: jax.Array      # () float
 
 
 def empty_mono_state(cfg: PipelineConfig, dtype=jnp.float32) -> MonoState:
@@ -338,11 +342,14 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
             depth_grad=jnp.where(pts_good[:, None], g1, 0.0),
             obs_prev=jnp.where(pts_good[:, None], xn_prev2, 0.0),
             R_pair=R, t_pair=t)
+        n_kp = jnp.sum(kp.valid.astype(jnp.int32))
         return new_state, MonoOutput(
             transform=T, ok=ok,
             num_matches=jnp.sum(m.valid.astype(jnp.int32)),
             num_inliers=est2.num_inliers,
-            scale_ratio=scale_ratio, scale_support=scale_support)
+            scale_ratio=scale_ratio, scale_support=scale_support,
+            sharpness=(jnp.sum(jnp.where(kp.valid, kp.response, 0.0))
+                       / jnp.maximum(n_kp, 1)))
 
     return step
 
@@ -423,6 +430,7 @@ def run_mono_sequence(frames: Iterable, K,
             "scale_support": support,
             "scale_ratio": ratio if np.isfinite(ratio) else None,
             "speed": speed if ok else None,
+            "sharpness": float(out.sharpness),
         })
     return MonoResult(poses=np.stack(poses), frame_ok=np.asarray(oks, bool),
                       stats=stats, speeds=np.asarray(speeds))
