@@ -57,7 +57,8 @@ def main(argv=None):
         r = run_bench(extra, args.reps)
         results[name] = r
         if "error" in r:
-            print(f"| {name} | ERROR | | | <!-- {r['error'][:80]} -->")
+            err = r["error"][:80].replace("|", "/").replace("\n", " ")
+            print(f"| {name} | ERROR | | {err} |")
             continue
         best = r.get("value_best_window", "")
         print(f"| {name} | {r['value']} | {best} | {r['vs_baseline']}x |",

@@ -89,6 +89,10 @@ def _apply_cfg_flags(cfg, args):
         det["sharpen_amount"] = args.sharpen_amount
     if getattr(args, "sharpen_auto", False):
         det["sharpen_auto"] = True
+        # --sharpen-auto alone must protect, not silently no-op: default
+        # to the measured-best mask (docs/realism.md, sigma=3/amount=4);
+        # an explicit contradictory --sharpen 0 still errors in config
+        det.setdefault("sharpen_sigma", 3.0)
     if det:
         cfg = dataclasses.replace(
             cfg, detector=dataclasses.replace(cfg.detector, **det))

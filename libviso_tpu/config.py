@@ -109,6 +109,11 @@ class DetectorConfig:
                 f"{self.descriptor_gather!r}")
         if self.sharpen_sigma < 0:
             raise ValueError("sharpen_sigma must be >= 0")
+        if self.sharpen_auto and self.sharpen_sigma <= 0:
+            raise ValueError(
+                "sharpen_auto needs sharpen_sigma > 0 (the mask that "
+                "auto mode gates); with sigma 0 it would silently "
+                "protect nothing")
 
     @property
     def corners_per_bin(self) -> int:

@@ -218,5 +218,31 @@ class MonoImageStream:
                 for _ in range(len(paths)):
                     yield s.next()
             return
-        for p in paths:
-            yield _read_gray(p)
+        if self.prefetch <= 0:
+            for p in paths:
+                yield _read_gray(p)
+            return
+        # threaded PIL fallback — decode overlaps the consumer exactly as
+        # in StereoImageStream; errors reach the consumer, not the log
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        done = object()
+        failure = []
+
+        def worker():
+            try:
+                for p in paths:
+                    q.put(_read_gray(p))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                failure.append(e)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                if failure:
+                    raise failure[0]
+                return
+            yield item

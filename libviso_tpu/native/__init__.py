@@ -23,7 +23,7 @@ VN_EOS = 1
 _ERRORS = {
     -1: "cannot open file",
     -2: "unsupported image format (not PNG/JPEG)",
-    -3: "PNG decode error",
+    -3: "image decode error",
     -4: "output buffer too small",
     -5: "bad stream handle",
 }
@@ -46,7 +46,16 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(so)
         except OSError:
             return None  # corrupt/foreign .so: fall back to the PIL path
-        lib.vn_version.restype = ctypes.c_int
+        try:
+            lib.vn_version.restype = ctypes.c_int
+            # version gate FIRST: a stale older-ABI .so (e.g. mtimes
+            # preserved by rsync -a on a shared FS) must be rejected
+            # before touching symbols it may not export — an
+            # AttributeError here would otherwise escape available()
+            if lib.vn_version() != 2:
+                return None
+        except AttributeError:
+            return None  # pre-versioning .so
         lib.vn_decode_png_gray.restype = ctypes.c_int
         lib.vn_decode_png_gray.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
@@ -77,8 +86,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.vn_stream_close.restype = None
         lib.vn_stream_close.argtypes = [ctypes.c_void_p]
-        if lib.vn_version() != 2:
-            return None
         _lib = lib
         return _lib
 
@@ -118,10 +125,21 @@ def decode_png_gray(path: str) -> np.ndarray:
 
 def decode_image_gray(path: str,
                       max_hw: Tuple[int, int] = (4096, 8192)) -> np.ndarray:
-    """Decode a PNG or JPEG (magic-sniffed) to (H, W) uint8 grayscale."""
+    """Decode a PNG or JPEG (magic-sniffed) to (H, W) uint8 grayscale.
+
+    PNGs take the exact-size path (dims peeked from the header, one
+    H*W allocation, no size cap); JPEGs decode into a ``max_hw``-capped
+    staging buffer (libjpeg exposes dims only mid-decode)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+    except OSError:
+        raise IOError(f"{path}: {_ERRORS[-1]}")
+    if magic[:2] == b"\x89P":
+        return decode_png_gray(path)
     cap = max_hw[0] * max_hw[1]
     buf = np.empty(cap, dtype=np.uint8)
     h, w = ctypes.c_int(), ctypes.c_int()

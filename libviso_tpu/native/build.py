@@ -39,23 +39,32 @@ def build(verbose: bool = False) -> str | None:
     tmp = f"{_SO}.tmp.{os.getpid()}"  # unique per process: concurrent
     # first-use builds (pytest-xdist, multi-host on a shared FS) must not
     # interleave g++ output into one file
-    cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-        _SRC, "-lpng", "-ljpeg", "-lz", "-o", tmp,
+    base = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+            _SRC]
+    # A host with libpng but no libjpeg must not lose the whole native
+    # runtime (PNG decode + prefetch carry the streaming headline) to a
+    # JPEG feature it never uses: retry without -ljpeg, compiling the
+    # JPEG decoder out (VN_NO_JPEG -> those files report
+    # 'unsupported image format' and the PIL fallback covers them).
+    attempts = [
+        base + ["-lpng", "-ljpeg", "-lz", "-o", tmp],
+        base + ["-DVN_NO_JPEG", "-lpng", "-lz", "-o", tmp],
     ]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=120)
-    except (OSError, subprocess.TimeoutExpired) as e:  # no g++ / hang
+    for cmd in attempts:
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=120)
+        except (OSError, subprocess.TimeoutExpired) as e:  # no g++ / hang
+            if verbose:
+                print(f"native build unavailable: {e}", file=sys.stderr)
+            return None
+        if proc.returncode == 0:
+            os.replace(tmp, _SO)
+            return _SO
         if verbose:
-            print(f"native build unavailable: {e}", file=sys.stderr)
-        return None
-    if proc.returncode != 0:
-        if verbose:
-            print(f"native build failed:\n{proc.stderr}", file=sys.stderr)
-        return None
-    os.replace(tmp, _SO)
-    return _SO
+            print(f"native build failed ({' '.join(cmd[-5:-2])}):\n"
+                  f"{proc.stderr}", file=sys.stderr)
+    return None
 
 
 if __name__ == "__main__":

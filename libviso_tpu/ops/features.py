@@ -18,6 +18,7 @@ Semantics follow OpenCV exactly where the reference depends on them:
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -58,6 +59,18 @@ def _conv1d(img, kernel, axis):
     return out
 
 
+def _gauss_taps(sigma: float, truncate: float = 4.0):
+    """Normalized truncated-Gaussian taps matching
+    scipy.ndimage.gaussian_filter's kernel (both unsharp_mask and
+    blur_metric were tuned against that operator — one builder keeps
+    them from diverging)."""
+    radius = int(truncate * sigma + 0.5)
+    raw = [math.exp(-0.5 * (i / sigma) ** 2)
+           for i in range(-radius, radius + 1)]
+    s = sum(raw)
+    return tuple(v / s for v in raw)
+
+
 def unsharp_mask(img, sigma: float, amount: float):
     """Separable Gaussian unsharp mask: ``img + amount*(img - G(img))``,
     clipped to [0, 255].
@@ -70,13 +83,7 @@ def unsharp_mask(img, sigma: float, amount: float):
     Static kernel at trace time; the shifted adds are VPU work XLA
     fuses with the downstream Sobel/Harris convs.
     """
-    import math
-
-    radius = int(4.0 * sigma + 0.5)
-    raw = [math.exp(-0.5 * (i / sigma) ** 2)
-           for i in range(-radius, radius + 1)]
-    s = sum(raw)
-    taps = tuple(v / s for v in raw)
+    taps = _gauss_taps(sigma)
     low = _conv1d(_conv1d(img, taps, 0), taps, 1)
     return jnp.clip(img + amount * (img - low), 0.0, 255.0)
 
@@ -93,11 +100,7 @@ def blur_metric(img):
     DetectorConfig.sharpen_auto.  Units ~1/px (gradient per unit
     contrast), so it transfers across exposure levels by construction.
     """
-    import math
-
-    raw = [math.exp(-0.5 * i * i) for i in range(-4, 5)]
-    s = sum(raw)
-    taps = tuple(v / s for v in raw)
+    taps = _gauss_taps(1.0)
     sm = _conv1d(_conv1d(img, taps, 0), taps, 1)
     gx = sm[:, 1:] - sm[:, :-1]
     gy = sm[1:, :] - sm[:-1, :]
@@ -272,11 +275,18 @@ def extract_descriptors(img, kp: Keypoints,
     return jnp.where(kp.valid[:, None], desc, 0.0)
 
 
-def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig()):
+def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig(),
+                        sharpen_gate=None):
     """Detector + descriptor in one call (shared by both pipeline views).
 
     Accepts uint8 images (preferred: 4x less host->device traffic than
     f32) and casts on-device.
+
+    ``sharpen_gate``: optional () bool overriding sharpen_auto's
+    per-image blur decision — the stereo frontend passes ONE shared
+    gate for both views so a pair straddling the trigger can never have
+    one view sharpened (4x high-pass gain) and the other not, which
+    would inflate cross-view descriptor distances.
     """
     img = jnp.asarray(img)
     if img.dtype != jnp.float32:
@@ -287,8 +297,9 @@ def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig()):
             # apply only when the frame measures defocused: compute both
             # and select (fixed-shape, no host sync; the mask is cheap
             # VPU work).  On sharp frames this is a bit-exact no-op.
-            img = jnp.where(blur_metric(img) < cfg.sharpen_trigger,
-                            sharp, img)
+            gate = (blur_metric(img) < cfg.sharpen_trigger
+                    if sharpen_gate is None else sharpen_gate)
+            img = jnp.where(gate, sharp, img)
         else:
             img = sharp
     if cfg.pyramid_levels > 1:

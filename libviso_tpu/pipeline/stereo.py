@@ -120,8 +120,20 @@ def build_frontend(cfg: PipelineConfig):
         # Both views detected as one vmapped batch: one fused kernel
         # launch, 2x arithmetic intensity (vs the reference's two serial
         # detector.detect calls, viso.cpp:1226-1227).
+        det = cfg.detector
+        gate = None
+        if det.sharpen_sigma > 0 and det.sharpen_auto:
+            # ONE defocus decision per stereo pair (mean of the views'
+            # metrics): a pair straddling the trigger must never have
+            # only one view sharpened — descriptors across differently-
+            # processed views stop matching (ops/features.py).
+            from libviso_tpu.ops.features import blur_metric
+
+            stacked = jnp.stack([im1, im2]).astype(jnp.float32)
+            gate = (jnp.mean(jax.vmap(blur_metric)(stacked))
+                    < det.sharpen_trigger)
         kps, ds = jax.vmap(
-            lambda im: detect_and_describe(im, cfg.detector)
+            lambda im: detect_and_describe(im, det, sharpen_gate=gate)
         )(jnp.stack([im1, im2]))
         pick = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
         return Feats(kp1=pick(kps, 0), d1=ds[0],

@@ -158,6 +158,13 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         pose (calibrated in docs/performance.md); 0 disables (round-1
         later-window-wins behavior).
     """
+    if stride > window:
+        # starts would advance past window ends, leaving periodic frame
+        # gaps whose motions stay zero-initialized — a silently corrupt
+        # trajectory reported as success
+        raise ValueError(
+            f"stride ({stride}) must be <= window ({window}): larger "
+            "strides leave frames covered by no BA window")
     frames = list(frames)
     T = len(frames)
     calib = Calib.from_projections(P1, P2)

@@ -25,7 +25,9 @@
 
 #include <cstdio>   // jpeglib.h needs FILE declared before inclusion
 
+#ifndef VN_NO_JPEG
 #include <jpeglib.h>
+#endif
 #include <png.h>
 
 #include <csetjmp>
@@ -136,6 +138,12 @@ int decode_png_gray(const char* path, GrayImage* out) {
 // Decode one JPEG file to tightly-packed 8-bit grayscale rows via libjpeg's
 // native JCS_GRAYSCALE output (IJG luma for color inputs — the same ITU-R
 // 601 weighting class as the PNG path and PIL's convert("L")).
+// Compiled out when the host has no libjpeg (build.py retries with
+// -DVN_NO_JPEG so PNG decode + prefetch survive); JPEGs then report
+// VN_ERR_BAD_FORMAT and the Python PIL fallback covers them.
+#ifdef VN_NO_JPEG
+int decode_jpeg_gray(const char*, GrayImage*) { return VN_ERR_BAD_FORMAT; }
+#else
 struct VnJpegErr {
   jpeg_error_mgr mgr;
   std::jmp_buf jump;
@@ -182,6 +190,7 @@ int decode_jpeg_gray(const char* path, GrayImage* out) {
   std::fclose(fp);
   return VN_OK;
 }
+#endif  // VN_NO_JPEG
 
 // Magic-byte dispatch: PNG (\x89PNG) or JPEG (\xFF\xD8).
 int decode_image_gray(const char* path, GrayImage* out) {
@@ -190,7 +199,7 @@ int decode_image_gray(const char* path, GrayImage* out) {
   unsigned char magic[2] = {0, 0};
   const size_t got = std::fread(magic, 1, 2, fp);
   std::fclose(fp);
-  if (got != 2) return VN_ERR_DECODE;
+  if (got != 2) return VN_ERR_BAD_FORMAT;  // <2 bytes: not any image
   if (magic[0] == 0xFF && magic[1] == 0xD8) return decode_jpeg_gray(path, out);
   if (magic[0] == 0x89 && magic[1] == 'P') return decode_png_gray(path, out);
   return VN_ERR_BAD_FORMAT;

@@ -205,3 +205,44 @@ def test_mono_image_stream(tmp_path):
     # skipped() starts later
     assert len(list(MonoImageStream(str(tmp_path / "img-%04d.jpg"),
                                     begin=1).skipped(2))) == 1
+
+
+def test_decode_image_gray_png_is_not_capped(tmp_path, rng):
+    """PNGs must take the exact-size path (dims peeked from the header),
+    never the JPEG staging-buffer cap: a PNG bigger than max_hw decodes
+    fine."""
+    img = rng.integers(0, 256, (40, 60), dtype=np.uint8)
+    p = _save(tmp_path, "big.png", img, "L")
+    out = native.decode_image_gray(p, max_hw=(4, 4))  # cap << image
+    assert np.array_equal(out, img)
+
+
+def test_mono_stream_pil_fallback_is_threaded(tmp_path, monkeypatch):
+    """Without the native runtime, MonoImageStream must still prefetch on
+    a worker thread (decode overlaps the consumer) and propagate decode
+    errors to the consumer."""
+    import threading
+
+    from libviso_tpu.io import kitti as kio
+
+    monkeypatch.setattr(kio, "_native", lambda: None)
+    rng = np.random.default_rng(5)
+    seen_threads = set()
+    orig = kio._read_gray
+
+    def spy(path):
+        seen_threads.add(threading.current_thread().name)
+        return orig(path)
+
+    monkeypatch.setattr(kio, "_read_gray", spy)
+    for i in range(3):
+        a = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        Image.fromarray(a).save(str(tmp_path / f"m-{i:04d}.png"))
+    frames = list(kio.MonoImageStream(str(tmp_path / "m-%04d.png")))
+    assert len(frames) == 3
+    assert threading.main_thread().name not in seen_threads
+
+    with open(str(tmp_path / "m-0003.png"), "wb") as f:
+        f.write(b"corrupt")
+    with pytest.raises(Exception):
+        list(kio.MonoImageStream(str(tmp_path / "m-%04d.png")))

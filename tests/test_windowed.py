@@ -130,3 +130,17 @@ def test_windowed_ba_prior_consistency():
     a_vo = ate_rmse(r1.poses_vo, seq.gt_poses)
     assert a1 < a_vo, (a1, a_vo)            # BA still improves VO
     assert a1 <= a0 * 1.25 + 0.01, (a1, a0)  # prior never much worse
+
+
+def test_stride_larger_than_window_rejected():
+    """stride > window leaves frames covered by no BA window (their
+    motions would stay zero-initialized — silent corruption); must raise
+    instead."""
+    import numpy as np
+    import pytest
+
+    from libviso_tpu.pipeline.windowed import run_windowed_ba
+
+    with pytest.raises(ValueError, match="stride"):
+        run_windowed_ba([], np.eye(3, 4), np.eye(3, 4),
+                        window=8, stride=12)
