@@ -56,7 +56,34 @@ def _flag(name, default):
     return default
 
 
+def _start_watchdog():
+    """Fail LOUDLY if the TPU tunnel is unreachable: backend init through
+    the axon relay can hang for hours with no error (CLAUDE.md gotchas),
+    which would stall the driver's end-of-round bench forever.  After
+    BENCH_TIMEOUT_S (default 900 s — full compile+30-rep sweeps finish in
+    well under half that) print an honest one-JSON-line error and exit."""
+    import os
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_TIMEOUT_S", "900"))
+
+    def fire():
+        print(json.dumps({
+            "metric": "stereo_vo_fps", "value": None, "unit": "frames/s",
+            "vs_baseline": None,
+            "error": f"no result after {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable?)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _start_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -196,6 +223,7 @@ def main():
     }
     if streaming:
         line["value_best_window"] = round(fps_best, 3)
+    watchdog.cancel()  # before printing: exactly ONE line either way
     print(json.dumps(line))
 
 
