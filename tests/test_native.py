@@ -246,3 +246,48 @@ def test_mono_stream_pil_fallback_is_threaded(tmp_path, monkeypatch):
         f.write(b"corrupt")
     with pytest.raises(Exception):
         list(kio.MonoImageStream(str(tmp_path / "m-%04d.png")))
+
+
+@pytest.mark.slow
+def test_vn_no_jpeg_build_keeps_png(tmp_path, rng):
+    """The -DVN_NO_JPEG fallback build (hosts with libpng but no libjpeg,
+    native/build.py) must keep PNG decode working and report JPEGs as
+    bad-format rather than crashing or mis-decoding."""
+    import ctypes
+    import subprocess
+    import sys
+
+    from libviso_tpu.native import build as nbuild
+
+    so = str(tmp_path / "nojpeg.so")
+    proc = subprocess.run(
+        ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+         "-DVN_NO_JPEG", nbuild._SRC, "-lpng", "-lz", "-o", so],
+        capture_output=True, text=True, timeout=120)
+    if proc.returncode != 0:
+        pytest.skip(f"no libpng-only toolchain here: {proc.stderr[:100]}")
+    lib = ctypes.CDLL(so)
+    lib.vn_version.restype = ctypes.c_int
+    assert lib.vn_version() == 2
+    lib.vn_decode_image_gray.restype = ctypes.c_int
+    lib.vn_decode_image_gray.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+    img = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    png = _save(tmp_path, "a.png", img, "L")
+    jpg = _save(tmp_path, "a.jpg", img, "L")
+
+    def decode(path):
+        buf = np.empty(20 * 30, np.uint8)
+        h, w = ctypes.c_int(), ctypes.c_int()
+        rc = lib.vn_decode_image_gray(
+            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size, ctypes.byref(h), ctypes.byref(w))
+        return rc, buf, h.value, w.value
+
+    rc, buf, h, w = decode(png)
+    assert rc == 0 and (h, w) == (20, 30)
+    assert np.array_equal(buf.reshape(20, 30), img)
+    rc, *_ = decode(jpg)
+    assert rc == -2  # bad format: JPEG decoder compiled out
