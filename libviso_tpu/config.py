@@ -186,7 +186,18 @@ class RansacConfig:
     SURVEY.md §3.5).
     """
 
-    num_hypotheses: int = 64
+    # Vmapped hypothesis lanes.  The reference runs 50 serial RANSAC
+    # iterations (param.ransac_iter, viso.h:60); round 1 shipped the
+    # lane-friendly round-up 64.  Measured (tests/test_ransac_budget.py:
+    # 8 regimes incl. 12 moving occluders and fast motion, 3-4 seeds
+    # each): 32 lanes match 64 in worst-case ATE and frame failures —
+    # the circular-consistency filter (ops/circle.py) feeds RANSAC a
+    # high-inlier support, where 32 three-point samples already hit an
+    # all-inlier draw with >99% probability.  Halves the solve stage.
+    # Statistical edge: below ~45% inliers 32 turns marginal (success
+    # 1-(1-w^3)^N) — raise to 64+ for supports the circle filter can't
+    # clean (no measured regime does this); PARITY.md divergence #8.
+    num_hypotheses: int = 32
     gn_iters: int = 100
     # Iteration cap for the minimal-sample (3-point) hypothesis fits.
     # The reference iterates each sample up to 100 with a per-sample early
