@@ -1,0 +1,61 @@
+"""Minimal library-API tour (no CLI): stereo VO, windowed BA, mono SfM.
+
+The reference exposes its engine as C++ calls (sequence_odometry,
+calibratedSFM — src/viso.h:105-121); these are the Python equivalents.
+Runs end-to-end on the synthetic renderer in ~a minute on CPU:
+
+    python examples/library_api.py                       # CPU
+    VISO_EXAMPLE_PLATFORM=tpu python examples/library_api.py
+"""
+
+import os
+
+import jax
+
+# force the chosen platform on the LIVE config: some environments
+# pre-import jax with their own JAX_PLATFORMS, making the env var alone
+# too late (same pattern as tests/conftest.py)
+jax.config.update("jax_platforms",
+                  os.environ.get("VISO_EXAMPLE_PLATFORM", "cpu"))
+
+import numpy as np
+
+from libviso_tpu.config import PipelineConfig
+from libviso_tpu.pipeline.stereo import run_stereo_sequence
+from libviso_tpu.synthetic import generate_sequence
+from libviso_tpu.utils.metrics import ate_rmse
+
+# --- data: any iterable of (left, right) uint8 (H, W) arrays works;
+# io.kitti.StereoImageStream streams a KITTI sequence with native
+# prefetch.  Here: the geometry-true synthetic renderer.
+seq = generate_sequence(num_frames=10, num_points=400, seed=3,
+                        width=416, height=160)
+
+# --- stereo VO (reference sequence_odometry, viso.cpp:1167-1330):
+cfg = PipelineConfig()  # all reference defaults, cited field by field
+res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg, seed=0)
+print(f"stereo: solved {int(res.frame_ok.sum())}/{len(res.poses) - 1}, "
+      f"ATE {ate_rmse(res.poses, seq.gt_poses):.4f} m")
+# res.poses (T,4,4) cumulative; res.stats per-frame dicts incl. the
+# `sharpness` health signal (docs/realism.md).
+
+# --- sliding-window bundle adjustment (beyond-reference):
+from libviso_tpu.pipeline.windowed import run_windowed_ba
+
+wres = run_windowed_ba(list(seq.frames), seq.P1, seq.P2, cfg,
+                       window=6, stride=3, seed=0)
+print(f"windowed BA: ATE {ate_rmse(wres.poses, seq.gt_poses):.4f} m "
+      f"({len(wres.window_costs)} windows)")
+
+# --- monocular SfM (completes the reference's unfinished calibratedSFM,
+# viso.cpp:1332-1398): 5-point E + recoverPose + relative scale.
+from libviso_tpu.pipeline.mono import run_mono_sequence
+
+K = seq.P1[:, :3]
+mres = run_mono_sequence([l for l, _ in seq.frames], K,
+                         cfg=PipelineConfig.mono(), seed=0)
+print(f"mono: solved {int(mres.frame_ok.sum())}/{len(mres.poses) - 1} "
+      f"(trajectory up to one global scale)")
+
+assert ate_rmse(res.poses, seq.gt_poses) < 0.1
+print("ok")
