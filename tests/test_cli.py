@@ -113,3 +113,31 @@ def test_cfg_flags_detector_options():
     assert cfg.detector.subpixel is True
     assert cfg.detector.pyramid_levels == 3
     assert cfg.ransac.hypothesis_method == "gn"  # explicit gn must stick
+
+
+def test_cfg_flags_sharpen_options():
+    """--sharpen/--sharpen-auto plumbing: explicit sigma, auto default
+    (must protect, not no-op), and the contradictory --sharpen 0 rejected
+    by config validation."""
+    import argparse
+
+    import pytest
+
+    p = argparse.ArgumentParser()
+    cli._add_cfg_flags(p)
+    from libviso_tpu.config import PipelineConfig
+
+    args = p.parse_args(["--sharpen", "2.5", "--sharpen-amount", "3"])
+    cfg = cli._apply_cfg_flags(PipelineConfig(), args)
+    assert cfg.detector.sharpen_sigma == 2.5
+    assert cfg.detector.sharpen_amount == 3.0
+    assert cfg.detector.sharpen_auto is False
+
+    args = p.parse_args(["--sharpen-auto"])
+    cfg = cli._apply_cfg_flags(PipelineConfig(), args)
+    assert cfg.detector.sharpen_auto is True
+    assert cfg.detector.sharpen_sigma == 3.0  # measured-best default
+
+    args = p.parse_args(["--sharpen", "0", "--sharpen-auto"])
+    with pytest.raises(ValueError, match="sharpen_auto"):
+        cli._apply_cfg_flags(PipelineConfig(), args)
