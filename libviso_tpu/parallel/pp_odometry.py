@@ -59,6 +59,17 @@ from libviso_tpu.pipeline.stereo import (
 NUM_STAGES = 2
 
 
+def _reject_keep_on_failure(cfg: PipelineConfig):
+    if cfg.keep_features_on_failure:
+        # prepare(k+1) runs before/concurrently-with solve(k) across the
+        # stage seam, so the held-state decision (which needs solve(k)'s
+        # ok) cannot exist here
+        raise ValueError(
+            "keep_features_on_failure is a streaming-step feature; the "
+            "prepare|solve pipeline stages cannot condition frame k+1's "
+            "match target on frame k's solve outcome")
+
+
 def build_pipelined_program(calib: Calib, F, cfg: PipelineConfig,
                             mesh: Mesh, backend: str = "xla"):
     """Build fn(ims1 (T,H,W), ims2 (T,H,W), key) -> FrameOutput over T
@@ -72,6 +83,7 @@ def build_pipelined_program(calib: Calib, F, cfg: PipelineConfig,
             f"pipe axis must have {NUM_STAGES} devices "
             f"(got {mesh.shape['pipe']}): the VO step splits into "
             "prepare and solve stages")
+    _reject_keep_on_failure(cfg)
 
     frontend = build_frontend(cfg)
     prepare = build_prepare(calib, F, cfg, backend=backend)
@@ -228,6 +240,7 @@ class StreamPipeline:
             devices = jax.devices()[:2]
         if len(devices) < 2:
             raise ValueError("StreamPipeline needs 2 devices")
+        _reject_keep_on_failure(cfg)
         self.d_prep, self.d_solve = devices[0], devices[1]
         calib = Calib.from_projections(P1, P2)
         F = F_from_P_host(P1, P2)

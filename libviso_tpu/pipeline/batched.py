@@ -61,6 +61,13 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
 
     ``with_tracks=True`` additionally returns a TrackData for windowed BA.
     """
+    if cfg.keep_features_on_failure:
+        # all frame pairs match in parallel here — holding a failed
+        # frame's predecessor is inherently sequential state
+        raise ValueError(
+            "keep_features_on_failure is a streaming-step feature; the "
+            "batched/DP/windowed drivers match all frame pairs in "
+            "parallel and cannot hold state across a failure")
     F = jnp.asarray(F)
     n_slots = cfg.detector.num_slots
 

@@ -48,6 +48,9 @@ class FrameState(NamedTuple):
     match_lr: jax.Array  # (N,) int32 left-slot -> right-slot
     X: jax.Array     # (N, 3) triangulated 3D per left slot
     X_valid: jax.Array  # (N,) bool
+    # consecutive solves failed while these features were HELD as the
+    # match target (cfg.keep_features_on_failure; always 0 otherwise)
+    fail_age: jax.Array  # () int32
 
 
 class FrameOutput(NamedTuple):
@@ -104,6 +107,7 @@ def empty_state(cfg: PipelineConfig, dtype=jnp.float32) -> FrameState:
         match_lr=jnp.full((n,), -1, jnp.int32),
         X=jnp.zeros((n, 3), dtype),
         X_valid=jnp.zeros((n,), bool),
+        fail_age=jnp.zeros((), jnp.int32),
     )
 
 
@@ -204,6 +208,7 @@ def build_prepare(calib: Calib, F, cfg: PipelineConfig,
         new_state = FrameState(
             kp1=kp1, kp2=kp2, d1=d1, d2=d2,
             match_lr=mlr.idx, X=X, X_valid=mlr.valid,
+            fail_age=jnp.zeros((), jnp.int32),
         )
         n_kp1 = jnp.sum(kp1.valid.astype(jnp.int32))
         si = SolveInput(
@@ -264,14 +269,33 @@ def build_backend(calib: Calib, F, cfg: PipelineConfig,
     prepare = build_prepare(calib, F, cfg, backend=backend)
     solve = build_solve(calib, cfg, debug=debug)
 
+    def merge_on_failure(state, new_state, out):
+        # Dropout recovery (cfg.keep_features_on_failure): when the solve
+        # FAILED, hold the previous (good) features as the next frame's
+        # match target instead of the bad frame's — unless the held state
+        # is empty (startup) or has already been held max_keep_age times
+        # (a genuinely changed scene must re-sync, not pin).  Scalar
+        # select over the state pytree; no host sync.
+        keep = ((~out.ok) & jnp.any(state.kp1.valid)
+                & (state.fail_age < cfg.max_keep_age))
+        merged = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(keep, old, new), state, new_state)
+        return merged._replace(
+            fail_age=jnp.where(keep, state.fail_age + 1, 0))
+
     def backend_fn(feats: Feats, state: FrameState, key):
         new_state, si, circ = prepare(feats, state)
         if debug:
             out, inliers, predict = solve(si, key)
+            if cfg.keep_features_on_failure:
+                new_state = merge_on_failure(state, new_state, out)
             dbg = FrameDebug(circle=circ, inliers=inliers, obs=si.obs,
                              predict=predict)
             return new_state, out, dbg
-        return new_state, solve(si, key)
+        out = solve(si, key)
+        if cfg.keep_features_on_failure:
+            new_state = merge_on_failure(state, new_state, out)
+        return new_state, out
 
     return backend_fn
 
