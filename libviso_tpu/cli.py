@@ -338,7 +338,13 @@ def _cmd_mono(args):
                              end=args.end)
 
     t0 = time.perf_counter()
-    res = run_mono_sequence(stream, K, seed=args.seed, mono=mono)
+    pcfg = None  # run_mono_sequence defaults to PipelineConfig.mono()
+    if args.keep_on_failure:
+        from libviso_tpu.config import PipelineConfig
+
+        pcfg = dataclasses.replace(PipelineConfig.mono(),
+                                   keep_features_on_failure=True)
+    res = run_mono_sequence(stream, K, cfg=pcfg, seed=args.seed, mono=mono)
     dt = time.perf_counter() - t0
     if args.out:
         from libviso_tpu.io.kitti import save_poses_kitti
@@ -486,6 +492,10 @@ def main(argv=None):
     m.add_argument("--no-scale", action="store_true",
                    help="disable relative-scale propagation (unit-norm "
                         "steps, the constant-speed assumption)")
+    m.add_argument("--keep-on-failure", action="store_true",
+                   help="transient-dropout recovery: hold the last good "
+                        "frame's features across a failed solve "
+                        "(docs/realism.md)")
     m.set_defaults(fn=_cmd_mono)
 
     e = sub.add_parser("eval", help="ATE/RPE + KITTI devkit-style errors "

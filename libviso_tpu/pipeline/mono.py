@@ -76,6 +76,9 @@ class MonoState(NamedTuple):
     obs_prev: jax.Array     # (N, 2) float
     R_pair: jax.Array       # (3, 3) float
     t_pair: jax.Array       # (3,) float, |t| = 1
+    # consecutive solves failed while this state was HELD as the match
+    # target (cfg.keep_features_on_failure; always 0 otherwise)
+    fail_age: jax.Array     # () int32
 
 
 class MonoOutput(NamedTuple):
@@ -107,7 +110,8 @@ def empty_mono_state(cfg: PipelineConfig, dtype=jnp.float32) -> MonoState:
                      depth_grad=jnp.zeros((n, 5), dtype),
                      obs_prev=jnp.zeros((n, 2), dtype),
                      R_pair=jnp.eye(3, dtype=dtype),
-                     t_pair=jnp.array([0.0, 0.0, 1.0], dtype))
+                     t_pair=jnp.array([0.0, 0.0, 1.0], dtype),
+                     fail_age=jnp.zeros((), jnp.int32))
 
 
 
@@ -341,7 +345,22 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
             parallax=jnp.where(pts_good, par, 0.0),
             depth_grad=jnp.where(pts_good[:, None], g1, 0.0),
             obs_prev=jnp.where(pts_good[:, None], xn_prev2, 0.0),
-            R_pair=R, t_pair=t)
+            R_pair=R, t_pair=t,
+            fail_age=jnp.zeros((), jnp.int32))
+        if cfg.keep_features_on_failure:
+            # dropout recovery, same scheme as the stereo step
+            # (pipeline/stereo.py::merge_on_failure): on a failed solve
+            # keep the last good frame as the match target so the next
+            # frame recovers the spanning motion.  Scale semantics hold:
+            # the host's speed chain already breaks at failed frames,
+            # and the held state's depths stay in their own good pair's
+            # units for the next accepted step's ratio.
+            keep = ((~ok) & jnp.any(state.kp.valid)
+                    & (state.fail_age < cfg.max_keep_age))
+            new_state = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(keep, old, new),
+                state, new_state)._replace(
+                    fail_age=jnp.where(keep, state.fail_age + 1, 0))
         n_kp = jnp.sum(kp.valid.astype(jnp.int32))
         return new_state, MonoOutput(
             transform=T, ok=ok,

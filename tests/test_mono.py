@@ -130,3 +130,36 @@ def test_mono_scale_propagation_under_sensor_noise():
     assert res.frame_ok[1:].all(), res.stats
     ratio = res.speeds[1:] / speeds_gt[1:]
     assert np.abs(ratio / ratio[0] - 1.0).max() < 0.06, ratio
+
+
+def test_mono_keep_on_failure_recovers_dropout():
+    """Mono dropout recovery (cfg.keep_features_on_failure): a black
+    frame costs two steps without it; holding the last good state lets
+    the next frame recover the SPANNING motion including its scale (the
+    ratio estimator measures the held pair's translation directly).
+    Measured: endpoint path length 8.88 vs the clean run's 8.86 (vs
+    6.95 unrecovered); clean sequences are bit-exact."""
+    seq = generate_sequence(num_frames=10, num_points=600, seed=13,
+                            width=416, height=160, speed=0.6,
+                            yaw_rate=0.01)
+    K = seq.P1[:, :3]
+    frames = [np.asarray(f[0]) for f in seq.frames]
+    bad = list(frames)
+    bad[5] = np.zeros_like(frames[5])
+    cfg = mono_config()
+    keep = dataclasses.replace(cfg, keep_features_on_failure=True)
+
+    clean_base = run_mono_sequence(frames, K, cfg, seed=0)
+    clean_keep = run_mono_sequence(frames, K, keep, seed=0)
+    np.testing.assert_array_equal(
+        np.stack([p for p in clean_keep.poses]),
+        np.stack([p for p in clean_base.poses]))
+
+    base = run_mono_sequence(bad, K, cfg, seed=0)
+    rec = run_mono_sequence(bad, K, keep, seed=0)
+    assert rec.frame_ok[1:].sum() == base.frame_ok[1:].sum() + 1
+    ref_len = np.linalg.norm(clean_base.poses[-1][:3, 3])
+    rec_len = np.linalg.norm(rec.poses[-1][:3, 3])
+    base_len = np.linalg.norm(base.poses[-1][:3, 3])
+    assert abs(rec_len - ref_len) < 0.05 * ref_len, (rec_len, ref_len)
+    assert abs(base_len - ref_len) > 0.15 * ref_len  # the gap it closes
