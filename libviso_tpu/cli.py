@@ -242,6 +242,17 @@ def _cmd_kitti(args):
     with MetricsLogger(os.path.join(result_dir, "metrics.jsonl")) as ml:
         for s in stats:
             ml.log(s)
+    # run-level health summary (docs/operations.md): the signals an
+    # operator should alert on, aggregated from the per-frame stats
+    sharps = [s["sharpness"] for s in stats if "sharpness" in s]
+    inls = [s["num_inliers"] for s in stats[1:] if "num_inliers" in s]
+    if sharps:
+        extra["health"] = {
+            "failed_frames": int((~res.frame_ok[1:]).sum()),
+            "sharpness_mean": round(float(np.mean(sharps)), 5),
+            "sharpness_min": round(float(np.min(sharps)), 5),
+            "inliers_mean": round(float(np.mean(inls)), 1) if inls else None,
+        }
 
     # Reference pose list semantics: identity first, then per-frame poses.
     poses_path = os.path.join(result_dir, "data", f"{args.seq}.txt")
