@@ -348,19 +348,15 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
             R_pair=R, t_pair=t,
             fail_age=jnp.zeros((), jnp.int32))
         if cfg.keep_features_on_failure:
-            # dropout recovery, same scheme as the stereo step
-            # (pipeline/stereo.py::merge_on_failure): on a failed solve
-            # keep the last good frame as the match target so the next
-            # frame recovers the spanning motion.  Scale semantics hold:
-            # the host's speed chain already breaks at failed frames,
-            # and the held state's depths stay in their own good pair's
-            # units for the next accepted step's ratio.
-            keep = ((~ok) & jnp.any(state.kp.valid)
-                    & (state.fail_age < cfg.max_keep_age))
-            new_state = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(keep, old, new),
-                state, new_state)._replace(
-                    fail_age=jnp.where(keep, state.fail_age + 1, 0))
+            # dropout recovery, the stereo step's scheme.  Scale
+            # semantics hold: the host's speed chain already breaks at
+            # failed frames, and the held state's depths stay in their
+            # own good pair's units for the next accepted step's ratio.
+            from libviso_tpu.pipeline.stereo import hold_state_on_failure
+
+            new_state = hold_state_on_failure(
+                state, new_state, ok, jnp.any(state.kp.valid),
+                cfg.max_keep_age)
         n_kp = jnp.sum(kp.valid.astype(jnp.int32))
         return new_state, MonoOutput(
             transform=T, ok=ok,

@@ -257,6 +257,20 @@ def build_solve(calib: Calib, cfg: PipelineConfig, debug: bool = False):
     return solve
 
 
+def hold_state_on_failure(state, new_state, ok, has_history, max_age):
+    """Dropout recovery (cfg.keep_features_on_failure): when the solve
+    FAILED, hold the previous (good) state as the next frame's match
+    target instead of the bad frame's — unless the held state is empty
+    (``has_history`` False at startup) or has already been held
+    ``max_age`` times (a genuinely changed scene must re-sync, not
+    pin).  Scalar select over the state pytree; no host sync.  Shared
+    by the stereo and mono steps (both states carry ``fail_age``)."""
+    keep = (~ok) & has_history & (state.fail_age < max_age)
+    merged = jax.tree_util.tree_map(
+        lambda old, new: jnp.where(keep, old, new), state, new_state)
+    return merged._replace(fail_age=jnp.where(keep, state.fail_age + 1, 0))
+
+
 def build_backend(calib: Calib, F, cfg: PipelineConfig,
                   backend: str = "xla", debug: bool = False):
     """Build the per-frame BACK-END: matching through pose estimation
@@ -269,32 +283,19 @@ def build_backend(calib: Calib, F, cfg: PipelineConfig,
     prepare = build_prepare(calib, F, cfg, backend=backend)
     solve = build_solve(calib, cfg, debug=debug)
 
-    def merge_on_failure(state, new_state, out):
-        # Dropout recovery (cfg.keep_features_on_failure): when the solve
-        # FAILED, hold the previous (good) features as the next frame's
-        # match target instead of the bad frame's — unless the held state
-        # is empty (startup) or has already been held max_keep_age times
-        # (a genuinely changed scene must re-sync, not pin).  Scalar
-        # select over the state pytree; no host sync.
-        keep = ((~out.ok) & jnp.any(state.kp1.valid)
-                & (state.fail_age < cfg.max_keep_age))
-        merged = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(keep, old, new), state, new_state)
-        return merged._replace(
-            fail_age=jnp.where(keep, state.fail_age + 1, 0))
-
     def backend_fn(feats: Feats, state: FrameState, key):
         new_state, si, circ = prepare(feats, state)
+        res = solve(si, key)
+        out = res[0] if debug else res
+        if cfg.keep_features_on_failure:
+            new_state = hold_state_on_failure(
+                state, new_state, out.ok, jnp.any(state.kp1.valid),
+                cfg.max_keep_age)
         if debug:
-            out, inliers, predict = solve(si, key)
-            if cfg.keep_features_on_failure:
-                new_state = merge_on_failure(state, new_state, out)
+            _, inliers, predict = res
             dbg = FrameDebug(circle=circ, inliers=inliers, obs=si.obs,
                              predict=predict)
             return new_state, out, dbg
-        out = solve(si, key)
-        if cfg.keep_features_on_failure:
-            new_state = merge_on_failure(state, new_state, out)
         return new_state, out
 
     return backend_fn
