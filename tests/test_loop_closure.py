@@ -246,3 +246,32 @@ def test_loop_detected_under_l2q8_metric():
     err_vo = np.linalg.norm(res.poses_vo[-1, :3, 3] - gt[-1, :3, 3])
     err_opt = np.linalg.norm(res.poses[-1, :3, 3] - gt[-1, :3, 3])
     assert err_opt < err_vo
+
+
+@pytest.mark.slow
+def test_defenses_compose_with_loop_closure():
+    """Feature interaction: dropout recovery + auto-sharpen + loop
+    closure in ONE run.  A black frame mid-circle must cost exactly one
+    frame (held state bridges it), the sharpen gate must stay a no-op on
+    the sharp frames (loop detection unaffected), and the loop must
+    still close."""
+    import dataclasses
+
+    seq = _circle_sequence()
+    frames = [(np.asarray(l), np.asarray(r)) for l, r in seq.frames]
+    frames[17] = (np.zeros_like(frames[17][0]),
+                  np.zeros_like(frames[17][1]))
+    cfg = dataclasses.replace(
+        tiny_config(), keep_features_on_failure=True)
+    cfg = dataclasses.replace(
+        cfg, detector=dataclasses.replace(cfg.detector, sharpen_sigma=3.0,
+                                          sharpen_auto=True))
+    res = run_with_loop_closure(
+        frames, seq.P1, seq.P2, cfg=cfg,
+        keyframe_every=4, min_gap=24, min_matches=40, min_inliers=20,
+        seed=0)
+    ok = res.frame_ok
+    assert not ok[17]
+    assert ok[18] and ok[19]  # recovered immediately after the dropout
+    assert len(res.loops) >= 1
+    assert res.graph_cost[1] < res.graph_cost[0]
