@@ -313,3 +313,35 @@ def test_keep_on_failure_rejected_by_parallel_drivers():
     mesh = Mesh(np.array(jax.devices()[:2]), ("pipe",))
     with pytest.raises(ValueError, match="streaming"):
         build_pipelined_program(calib, F, keep, mesh)
+
+
+@pytest.mark.slow
+def test_sharpen_auto_never_misfires_and_recovers_noisy_blur():
+    """Safe-to-leave-on evidence: across representative non-defocus
+    regimes auto-sharpen must be bit-identical to baseline (the trigger
+    never fires), and it must also recover MODERATE noise on blur
+    (measured: blur2+noise3 ATE 0.219 -> 0.076)."""
+    import dataclasses
+
+    auto = dataclasses.replace(CFG, detector=dataclasses.replace(
+        CFG.detector, sharpen_sigma=3.0, sharpen_auto=True))
+    for kw in ({}, dict(imaging=Imaging(noise_sigma=6.0)),
+               dict(num_patterns=16),
+               dict(imaging=Imaging(exposure_drift=0.10,
+                                    lr_gain_mismatch=0.05))):
+        seq = generate_sequence(seed=100, **SHAPE, **kw)
+        base = run_stereo_sequence(seq.frames, seq.P1, seq.P2, CFG,
+                                   seed=100)
+        res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, auto,
+                                  seed=100)
+        np.testing.assert_array_equal(res.motions, base.motions)
+
+    seq = generate_sequence(seed=100, **SHAPE,
+                            imaging=Imaging(blur_sigma=2.0,
+                                            noise_sigma=3.0))
+    base = run_stereo_sequence(seq.frames, seq.P1, seq.P2, CFG, seed=100)
+    res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, auto, seed=100)
+    assert res.frame_ok[1:].all()
+    assert ate_rmse(res.poses, seq.gt_poses) < 0.15
+    assert ate_rmse(res.poses, seq.gt_poses) < 0.6 * ate_rmse(
+        base.poses, seq.gt_poses)
