@@ -132,6 +132,7 @@ def test_mono_scale_propagation_under_sensor_noise():
     assert np.abs(ratio / ratio[0] - 1.0).max() < 0.06, ratio
 
 
+@pytest.mark.slow
 def test_mono_keep_on_failure_recovers_dropout():
     """Mono dropout recovery (cfg.keep_features_on_failure): a black
     frame costs two steps without it; holding the last good state lets

@@ -102,6 +102,7 @@ def test_occluders_paint_both_views():
     assert not np.array_equal(d_clean, d_pert)
 
 
+@pytest.mark.slow
 def test_sharpness_health_signal_trips_on_defocus():
     """The per-frame `sharpness` stat (mean Harris response over detected
     corners, pipeline/stereo.py::FrameOutput) must catch the one measured
@@ -208,6 +209,7 @@ def test_blur_metric_scene_and_noise_independent():
     assert m(Imaging(blur_sigma=3.0, noise_sigma=12.0)) < 0.25
 
 
+@pytest.mark.slow
 def test_sharpen_auto_noop_on_sharp_and_recovers_defocus():
     """sharpen_auto must be a bit-exact no-op on sharp frames (the
     select picks the raw image) and must still recover the silent
@@ -240,6 +242,7 @@ def _black(frames, idxs):
     return out
 
 
+@pytest.mark.slow
 def test_keep_on_failure_recovers_dropout():
     """Transient-dropout recovery (cfg.keep_features_on_failure): one
     black frame costs TWO motions without it (the bad frame fails, then
@@ -271,6 +274,7 @@ def test_keep_on_failure_recovers_dropout():
                                                         seq.gt_poses) / 2
 
 
+@pytest.mark.slow
 def test_keep_on_failure_age_cap_resyncs():
     """A dropout longer than max_keep_age must re-sync instead of
     pinning to stale features forever: after the black run ends, the
