@@ -65,20 +65,22 @@ def battery_results():
     """Run every regime under both metrics once; tests assert on slices."""
     out = {}
     cfg_l2 = CFG.with_metric("l2")
+    cfg_q8 = CFG.with_metric("l2q8")
     for name, (kw, seed) in BATTERY.items():
         shape = dict(SHAPE)
         shape.update(kw)
         seq = generate_sequence(seed=seed + 40, **shape)
         r1 = run_stereo_sequence(seq.frames, seq.P1, seq.P2, CFG, seed=0)
         r2 = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg_l2, seed=0)
-        out[name] = (seq, r1, r2)
+        rq = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg_q8, seed=0)
+        out[name] = (seq, r1, r2, rq)
     return out
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", list(BATTERY))
 def test_l2_matches_l1_trajectory(battery_results, name):
-    seq, r1, r2 = battery_results[name]
+    seq, r1, r2, _ = battery_results[name]
     assert r1.frame_ok[1:].all(), (name, "l1 failed frames")
     assert r2.frame_ok[1:].all(), (name, "l2 failed frames")
     a1 = ate_rmse(r1.poses, seq.gt_poses)
@@ -104,7 +106,7 @@ def test_l2_battery_aggregate(battery_results):
     metric that consistently lost would fail even with a median near
     1)."""
     ratios = []
-    for name, (seq, r1, r2) in battery_results.items():
+    for name, (seq, r1, r2, _) in battery_results.items():
         a1 = ate_rmse(r1.poses, seq.gt_poses)
         a2 = ate_rmse(r2.poses, seq.gt_poses)
         ratios.append(a2 / max(a1, 1e-9))
@@ -147,3 +149,29 @@ def test_l2q8_trajectory_matches_l2():
     a2 = ate_rmse(r2.poses, seq.gt_poses)
     aq = ate_rmse(rq.poses, seq.gt_poses)
     assert aq <= 2.0 * a2 + 0.05, (a2, aq)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list(BATTERY))
+def test_l2q8_matches_l2_trajectory(battery_results, name):
+    """Same per-regime gate for the int8 MXU mode vs its parent l2:
+    the evidence that would let a future round flip the default on a
+    TPU speed measurement alone (int8 MXU rate is 4x bf16)."""
+    seq, _, r2, rq = battery_results[name]
+    assert rq.frame_ok[1:].all(), (name, "l2q8 failed frames")
+    a2 = ate_rmse(r2.poses, seq.gt_poses)
+    aq = ate_rmse(rq.poses, seq.gt_poses)
+    assert aq <= 2.0 * a2 + 0.05, (name, a2, aq)
+
+
+@pytest.mark.slow
+def test_l2q8_battery_aggregate(battery_results):
+    ratios = []
+    for name, (seq, _, r2, rq) in battery_results.items():
+        a2 = ate_rmse(r2.poses, seq.gt_poses)
+        aq = ate_rmse(rq.poses, seq.gt_poses)
+        ratios.append(aq / max(a2, 1e-9))
+    ratios = np.asarray(ratios)
+    assert float(np.median(ratios)) <= 1.15, sorted(np.round(ratios, 2))
+    assert float(np.exp(np.mean(np.log(ratios)))) <= 1.15, (
+        sorted(np.round(ratios, 2)))
