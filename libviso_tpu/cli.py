@@ -150,6 +150,12 @@ def _cmd_kitti(args):
     os.makedirs(result_dir, exist_ok=True)
 
     cfg = _apply_cfg_flags(PipelineConfig(), args)
+    if args.keep_on_failure and args.ba_window > 0:
+        # fail at the argv edge: build_batched_odometry would raise the
+        # same incompatibility only AFTER the whole sequence is decoded
+        sys.exit("--keep-on-failure is a streaming-mode feature and "
+                 "cannot combine with --ba-window (the batched windows "
+                 "match all frame pairs in parallel)")
     extra = {}
     t0 = time.perf_counter()
     if args.ba_window > 0:
@@ -246,13 +252,17 @@ def _cmd_kitti(args):
     # operator should alert on, aggregated from the per-frame stats
     sharps = [s["sharpness"] for s in stats if "sharpness" in s]
     inls = [s["num_inliers"] for s in stats[1:] if "num_inliers" in s]
-    if sharps:
-        extra["health"] = {
-            "failed_frames": int((~res.frame_ok[1:]).sum()),
-            "sharpness_mean": round(float(np.mean(sharps)), 5),
-            "sharpness_min": round(float(np.min(sharps)), 5),
-            "inliers_mean": round(float(np.mean(inls)), 1) if inls else None,
-        }
+    # always emitted (docs/operations.md contract): the BA/loop modes
+    # carry no per-frame sharpness, so those keys go null, but
+    # failed_frames must never silently disappear from an alert feed
+    extra["health"] = {
+        "failed_frames": int((~res.frame_ok[1:]).sum()),
+        "sharpness_mean": (round(float(np.mean(sharps)), 5)
+                           if sharps else None),
+        "sharpness_min": (round(float(np.min(sharps)), 5)
+                          if sharps else None),
+        "inliers_mean": round(float(np.mean(inls)), 1) if inls else None,
+    }
 
     # Reference pose list semantics: identity first, then per-frame poses.
     poses_path = os.path.join(result_dir, "data", f"{args.seq}.txt")

@@ -354,9 +354,12 @@ class PipelineConfig:
     # dropout battery): one black frame mid-sequence, ATE 1.11 -> 0.29 m
     # and one fewer failed frame.  After `max_keep_age` consecutive
     # failures the new frame is accepted anyway (a genuinely changed
-    # scene must re-sync rather than pin to stale features).  In-graph
-    # selects, no host sync; unsupported in the batched/DP/pipelined
-    # drivers (they raise), hence off by default.
+    # scene must re-sync rather than pin to stale features).  Bounded
+    # worst case: if the re-sync accepts a frame that itself has a few
+    # garbage corners, the next failure can hold THOSE for another cap
+    # round — total re-sync delay <= 2x max_keep_age frames, never
+    # unbounded.  In-graph selects, no host sync; unsupported in the
+    # batched/DP/pipelined drivers (they raise), hence off by default.
     keep_features_on_failure: bool = False
     max_keep_age: int = 3
 

@@ -350,12 +350,12 @@ def run_with_loop_closure(frames, P1, P2,
                                    jax.random.fold_in(key, t))
             from libviso_tpu.ops.matching import MatchResult
 
-            mlr = MatchResult(idx=state.match_lr,
-                              dist=jnp.zeros_like(state.kp1.response),
-                              valid=state.match_lr >= 0)
+            mlr = MatchResult(idx=dbg.match_lr,
+                              dist=jnp.zeros_like(dbg.kp1.response),
+                              valid=dbg.match_lr >= 0)
             dumper.frame(
-                t, np.asarray(im1), np.asarray(im2), state.kp1,
-                state.kp2, mlr,
+                t, np.asarray(im1), np.asarray(im2), dbg.kp1,
+                dbg.kp2, mlr,
                 prev=(prev_host[0], prev_host[1], prev_state.kp1,
                       prev_state.kp2) if prev_host else None,
                 circ=dbg.circle if t > 0 else None,

@@ -95,6 +95,12 @@ class MonoOutput(NamedTuple):
     # signal (same semantics as stereo FrameOutput.sharpness; the mono
     # solver flags are consistency checks too, docs/realism.md)
     sharpness: jax.Array      # () float
+    # frames this transform SPANS: 1 normally; 1 + held-failure count
+    # when keep_features_on_failure bridged a dropout.  The host uses it
+    # for the constant-velocity scale fallback when the spanning step's
+    # ratio evidence is too thin (a unit-speed scale on a multi-frame
+    # translation would silently under-advance the trajectory).
+    span: jax.Array           # () int32
 
 
 def empty_mono_state(cfg: PipelineConfig, dtype=jnp.float32) -> MonoState:
@@ -364,7 +370,8 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
             num_inliers=est2.num_inliers,
             scale_ratio=scale_ratio, scale_support=scale_support,
             sharpness=(jnp.sum(jnp.where(kp.valid, kp.response, 0.0))
-                       / jnp.maximum(n_kp, 1)))
+                       / jnp.maximum(n_kp, 1)),
+            span=state.fail_age + 1)
 
     return step
 
@@ -422,19 +429,34 @@ def run_mono_sequence(frames: Iterable, K,
     pose = np.eye(4)
     speed = 1.0
     poses, oks, stats, speeds = [], [], [], []
+    # `speed` is the last ACCEPTED pair's translation magnitude (the
+    # quantity scale ratios chain against); `last_span` is how many
+    # frames that pair spanned (1 unless dropout recovery bridged a
+    # gap).  The constant-velocity fallback estimates per-frame speed
+    # as speed/last_span and covers all `span` frames of this step —
+    # a single-step speed on a multi-frame translation would silently
+    # under-advance the trajectory (dropout-recovery scale bug).
+    last_span = 1
     for t, out in enumerate(outs):
         ok = bool(out.ok) and t > 0
         support = int(out.scale_support)
         ratio = float(out.scale_ratio)
+        span = int(out.span)
         if (mono.scale_propagation and ok
                 and support >= mono.min_scale_support
                 and np.isfinite(ratio) and 1e-2 < ratio < 1e2):
-            speed *= ratio
+            # measured: the ratio compares this transform against the
+            # held pair, so it already carries any multi-frame span
+            scale_t = speed * ratio
+        else:
+            scale_t = speed * span / last_span
         if ok:
             T = np.asarray(out.transform)
             T = T.copy()
-            T[:3, 3] *= speed
+            T[:3, 3] *= scale_t
             pose = pose @ T
+            speed = scale_t
+            last_span = span
         poses.append(pose.copy())
         oks.append(ok)
         speeds.append(speed if ok else 0.0)
@@ -445,6 +467,7 @@ def run_mono_sequence(frames: Iterable, K,
             "scale_support": support,
             "scale_ratio": ratio if np.isfinite(ratio) else None,
             "speed": speed if ok else None,
+            "span": span,
             "sharpness": float(out.sharpness),
         })
     return MonoResult(poses=np.stack(poses), frame_ok=np.asarray(oks, bool),

@@ -79,6 +79,13 @@ class FrameDebug(NamedTuple):
     inliers: jax.Array      # (N,) bool RANSAC support mask
     obs: jax.Array          # (N, 4) current observations per left slot
     predict: jax.Array      # (N, 4) reprojections under the estimated tr
+    # the CURRENT frame's raw detections/LR matches — drivers must draw
+    # these, not the post-step state: under keep_features_on_failure a
+    # failed frame's state holds the PREVIOUS frame's features, which
+    # would be mislabeled as this frame's detections in the artifacts
+    kp1: Keypoints
+    kp2: Keypoints
+    match_lr: jax.Array     # (N,) int32
 
 
 class Feats(NamedTuple):
@@ -285,6 +292,7 @@ def build_backend(calib: Calib, F, cfg: PipelineConfig,
 
     def backend_fn(feats: Feats, state: FrameState, key):
         new_state, si, circ = prepare(feats, state)
+        cur_match_lr = new_state.match_lr  # pre-merge: this frame's own
         res = solve(si, key)
         out = res[0] if debug else res
         if cfg.keep_features_on_failure:
@@ -294,7 +302,8 @@ def build_backend(calib: Calib, F, cfg: PipelineConfig,
         if debug:
             _, inliers, predict = res
             dbg = FrameDebug(circle=circ, inliers=inliers, obs=si.obs,
-                             predict=predict)
+                             predict=predict, kp1=feats.kp1,
+                             kp2=feats.kp2, match_lr=cur_match_lr)
             return new_state, out, dbg
         return new_state, out
 
@@ -474,11 +483,11 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
                                    jax.random.fold_in(key, t))
             from libviso_tpu.ops.matching import MatchResult
 
-            mlr = MatchResult(idx=state.match_lr,
-                              dist=jnp.zeros_like(state.kp1.response),
-                              valid=state.match_lr >= 0)
+            mlr = MatchResult(idx=dbg.match_lr,
+                              dist=jnp.zeros_like(dbg.kp1.response),
+                              valid=dbg.match_lr >= 0)
             dumper.frame(
-                t, np.asarray(im1), np.asarray(im2), state.kp1, state.kp2,
+                t, np.asarray(im1), np.asarray(im2), dbg.kp1, dbg.kp2,
                 mlr,
                 prev=(prev_host[0], prev_host[1], prev_state.kp1,
                       prev_state.kp2) if prev_host else None,

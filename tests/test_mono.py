@@ -164,3 +164,31 @@ def test_mono_keep_on_failure_recovers_dropout():
     base_len = np.linalg.norm(base.poses[-1][:3, 3])
     assert abs(rec_len - ref_len) < 0.05 * ref_len, (rec_len, ref_len)
     assert abs(base_len - ref_len) > 0.15 * ref_len  # the gap it closes
+
+
+@pytest.mark.slow
+def test_mono_recovery_span_scales_constant_velocity_fallback():
+    """When the spanning recovery step has no usable scale evidence
+    (scale propagation off here), the constant-velocity fallback must
+    cover ALL bridged frames: the span-2 step counts two unit steps.
+    Measured |endpoint| 8.990 vs clean 8.989 (a single-step fallback
+    would under-advance to ~8.0)."""
+    from libviso_tpu.config import MonoConfig
+
+    seq = generate_sequence(num_frames=10, num_points=600, seed=13,
+                            width=416, height=160, speed=0.6,
+                            yaw_rate=0.01)
+    K = seq.P1[:, :3]
+    frames = [np.asarray(f[0]) for f in seq.frames]
+    bad = list(frames)
+    bad[5] = np.zeros_like(frames[5])
+    keep = dataclasses.replace(mono_config(), keep_features_on_failure=True)
+    noscale = MonoConfig(scale_propagation=False)
+
+    clean = run_mono_sequence(frames, K, mono_config(), seed=0,
+                              mono=noscale)
+    rec = run_mono_sequence(bad, K, keep, seed=0, mono=noscale)
+    assert [s["span"] for s in rec.stats].count(2) == 1
+    ref_len = np.linalg.norm(clean.poses[-1][:3, 3])
+    rec_len = np.linalg.norm(rec.poses[-1][:3, 3])
+    assert abs(rec_len - ref_len) < 0.03 * ref_len, (rec_len, ref_len)
