@@ -113,3 +113,32 @@ def test_fingerprint_sensitivity(tiny_cfg):
     assert f0 != config_fingerprint(tiny_cfg, 1, "xla")
     assert f0 != config_fingerprint(tiny_cfg, 0, "pallas")
     assert f0 != config_fingerprint(PipelineConfig(), 0, "xla")
+
+
+def test_resume_bit_exact_while_recovery_state_held(tmp_path, tiny_cfg,
+                                                    seq):
+    """Resume from a checkpoint taken WHILE dropout-recovery state is
+    held (the frame before it failed, fail_age > 0 in the snapshot):
+    the resumed run must still be bit-identical to the uninterrupted
+    one — the held features and their age are part of the state tree."""
+    import dataclasses
+
+    keep = dataclasses.replace(tiny_cfg, keep_features_on_failure=True)
+    frames = [(np.asarray(l), np.asarray(r)) for l, r in seq.frames]
+    frames[3] = (np.zeros_like(frames[3][0]), np.zeros_like(frames[3][1]))
+
+    full = run_stereo_sequence(frames, seq.P1, seq.P2, keep, seed=0)
+    assert not full.frame_ok[3]  # the dropout fails...
+    assert full.frame_ok[4]      # ...and the held state bridges it
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=2)
+    # interrupt right after the failed frame: the every=2 snapshot at
+    # next_frame=4 carries the held state with fail_age=1
+    run_stereo_sequence(frames[:4], seq.P1, seq.P2, keep, seed=0,
+                        checkpoint=mgr)
+    assert mgr.latest().next_frame == 4
+
+    resumed = run_stereo_sequence(frames, seq.P1, seq.P2, keep, seed=0,
+                                  checkpoint=mgr)
+    np.testing.assert_array_equal(resumed.motions, full.motions)
+    np.testing.assert_array_equal(resumed.frame_ok, full.frame_ok)
