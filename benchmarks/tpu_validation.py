@@ -11,6 +11,14 @@ Prints a markdown table to stdout and writes benchmarks/tpu_r2.json.
 Each bench invocation is a SUBPROCESS so one compile failure cannot
 take down the sweep, and the one-JSON-line bench contract is consumed
 as-is.
+
+After a successful sweep, refresh every doc line that cites the
+round-1 chip numbers (354 fps l2 / 240 fps l1, measured BEFORE the
+32-lane RANSAC default and the l2q8 mode):
+  README.md:15, CLAUDE.md (headline block), docs/performance.md
+  (mode table + stage table note), docs/scaling.md (~line 29),
+  .claude/skills/verify/SKILL.md (bench expectations),
+  docs/limitations.md ("Round-2 TPU re-measurement" item — delete it).
 """
 
 import argparse
