@@ -65,6 +65,14 @@ def _add_cfg_flags(parser):
              "in-graph blur metric says they are defocused (sharp "
              "frames are bit-exact no-ops; safe to leave on)")
     parser.add_argument(
+        "--nms", type=int, default=None, metavar="R",
+        help="non-max suppression radius in px before the per-bin "
+             "top-k (beyond-reference): keeps only local maxima so one "
+             "strong corner's neighbors stop eating budget slots; "
+             "spreads the detection budget over distinct corners "
+             "(keyframe/loop-closure workloads). 0 = reference parity "
+             "(raw nth_element winners, src/viso.cpp:961-963)")
+    parser.add_argument(
         "--keep-on-failure", action="store_true",
         help="transient-dropout recovery (beyond-reference): on a failed "
              "solve, keep the last good frame's features as the match "
@@ -100,6 +108,8 @@ def _apply_cfg_flags(cfg, args):
         # to the measured-best mask (docs/realism.md, sigma=3/amount=4);
         # an explicit contradictory --sharpen 0 still errors in config
         det.setdefault("sharpen_sigma", 3.0)
+    if getattr(args, "nms", None) is not None:
+        det["nms_radius"] = args.nms
     if det:
         cfg = dataclasses.replace(
             cfg, detector=dataclasses.replace(cfg.detector, **det))

@@ -101,6 +101,16 @@ class DetectorConfig:
     # loudly (ok flags drop), unlike pure defocus (docs/realism.md).
     sharpen_auto: bool = False
     sharpen_trigger: float = 0.28
+    # Non-max suppression radius [px] before the per-bin top-k
+    # (beyond-reference; the reference keeps raw nth_element winners,
+    # src/viso.cpp:961-963, so one strong corner's neighboring pixels
+    # can occupy several budget slots).  r>0 keeps only pixels that are
+    # the maximum of their (2r+1)^2 neighborhood — a reduce_window
+    # max-pool equality, fused into the response pipeline by XLA.  0
+    # disables (reference parity).  Turning it on spreads the budget
+    # over distinct corners, which is what keyframe-based loop closure
+    # needs (pipeline/loop.py); per-frame VO is insensitive either way.
+    nms_radius: int = 0
 
     def __post_init__(self):
         if self.descriptor_gather not in ("onehot", "take"):

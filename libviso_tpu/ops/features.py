@@ -188,6 +188,13 @@ def detect_harris_binned(img, cfg: DetectorConfig = DetectorConfig(),
     k = cfg.corners_per_bin
 
     a = jnp.abs(resp[: cfg.nbiny * sy, : cfg.nbinx * sx])
+    if cfg.nms_radius > 0:
+        # keep only local maxima of |response|: window max-pool equality
+        # (ties keep every tied pixel — top-k then dedups by budget).
+        w = 2 * cfg.nms_radius + 1
+        pooled = jax.lax.reduce_window(
+            a, -jnp.inf, jax.lax.max, (w, w), (1, 1), "SAME")
+        a = jnp.where(a >= pooled, a, 0.0)
     bins = a.reshape(cfg.nbiny, sy, cfg.nbinx, sx)
     bins = bins.transpose(0, 2, 1, 3).reshape(cfg.nbiny * cfg.nbinx, sy * sx)
     vals, flat_idx = jax.lax.top_k(bins, k)  # (nbins, k)

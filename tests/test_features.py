@@ -192,3 +192,35 @@ def test_unsharp_mask_matches_scipy(rng):
             0.0, 255.0)
         got = np.asarray(unsharp_mask(jnp.asarray(img), sigma, amount))
         np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_nms_dedups_adjacent_maxima(rng):
+    """nms_radius > 0 keeps only local maxima of |response|: a strong
+    corner's neighboring pixels must no longer occupy budget slots
+    (default 0 = reference parity, raw nth_element winners,
+    src/viso.cpp:961-963)."""
+    from libviso_tpu.config import DetectorConfig
+    from libviso_tpu.ops.features import detect_harris_binned
+
+    img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    base = DetectorConfig(max_features=96, nbinx=4, nbiny=2,
+                          num_slots=128)
+    kp0 = detect_harris_binned(img, base)
+    kp1 = detect_harris_binned(
+        img, DetectorConfig(max_features=96, nbinx=4, nbiny=2,
+                            num_slots=128, nms_radius=2))
+
+    def min_pair_dist(kp):
+        xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+        d = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        return d.min()
+
+    # NMS spreads corners: no two survivors within the radius
+    assert min_pair_dist(kp1) > 2.0
+    # without NMS adjacent duplicates exist on noise imagery
+    assert min_pair_dist(kp0) <= 1.5
+    # every NMS survivor is also a raw-response corner (same detector,
+    # subset semantics)
+    r1 = np.asarray(kp1.response)[np.asarray(kp1.valid)]
+    assert (r1 > 0).all()
