@@ -65,6 +65,15 @@ def _add_cfg_flags(parser):
              "in-graph blur metric says they are defocused (sharp "
              "frames are bit-exact no-ops; safe to leave on)")
     parser.add_argument(
+        "--chunk", type=int, default=1, metavar="K",
+        help="frames per device dispatch (beyond-reference): K>1 scans "
+             "K per-frame steps inside one launch — bitwise-identical "
+             "trajectory, K-times fewer dispatches; the win on links "
+             "where launch overhead rivals frame compute (tunneled "
+             "chips, small frames).  Results arrive K frames at a time; "
+             "debug runs force K=1.  docs/performance.md 'Chunked "
+             "streaming'")
+    parser.add_argument(
         "--nms", type=int, default=None, metavar="R",
         help="non-max suppression radius in px before the per-bin "
              "top-k (beyond-reference): keeps only local maxima so one "
@@ -252,7 +261,8 @@ def _cmd_kitti(args):
             on_frame=None, checkpoint=ckpt,
             fingerprint_scope=f"{args.seq}:{args.begin}:{args.end}",
             dbg_dir=(os.path.join(result_dir, "dbg")
-                     if args.save_debug else None))
+                     if args.save_debug else None),
+            chunk=args.chunk)
         stats = res.stats
     dt = time.perf_counter() - t0
     with MetricsLogger(os.path.join(result_dir, "metrics.jsonl")) as ml:
@@ -299,7 +309,8 @@ def _cmd_synth(args):
     cfg = _apply_cfg_flags(PipelineConfig(), args)
     t0 = time.perf_counter()
     res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg,
-                              seed=args.seed, backend=args.backend)
+                              seed=args.seed, backend=args.backend,
+                              chunk=args.chunk)
     dt = time.perf_counter() - t0
     terr, rerr = rpe_errors(res.poses, seq.gt_poses)
     print(json.dumps({

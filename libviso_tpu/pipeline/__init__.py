@@ -5,6 +5,7 @@ from libviso_tpu.pipeline.stereo import (
     FrameOutput,
     empty_state,
     build_frame_step,
+    build_frame_chunk,
     run_stereo_sequence,
 )
 from libviso_tpu.pipeline.batched import (
@@ -17,6 +18,7 @@ __all__ = [
     "FrameOutput",
     "empty_state",
     "build_frame_step",
+    "build_frame_chunk",
     "run_stereo_sequence",
     "BatchedOutput",
     "build_batched_odometry",

@@ -336,6 +336,48 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
     return step
 
 
+def build_frame_chunk(calib: Calib, F, cfg: PipelineConfig, chunk: int,
+                      backend: str = "xla"):
+    """K consecutive frame steps as ONE dispatch (a `lax.scan` of the
+    per-frame step over a (K, H, W) frame stack).
+
+    Per-frame semantics are untouched — the scan body IS `build_frame_step`
+    with the state threaded through, so outputs are bitwise identical to K
+    separate `step` calls (tested: tests/test_pipeline.py chunked-streaming
+    equivalence).  What changes is the dispatch granularity: one launch
+    covers K frames, so fixed per-dispatch overhead (RPC latency on
+    tunneled chips, kernel-launch bookkeeping on production hosts) divides
+    by K.  Measured on this tunnel the per-frame step computes in ~1.5 ms
+    but a dispatch costs ~2.6 ms end-to-end — chunking is what closes that
+    gap (docs/performance.md "Chunked streaming").
+
+    The cost is latency: results arrive K frames at a time, and the host
+    must have K frames on hand.  The offline/recorded-sequence drivers this
+    framework targets (KITTI playback, the reference's own batch mode,
+    src/kitti.cpp:79-118) read frames ahead anyway (native prefetch
+    loader), so chunk>1 is pure throughput for them; a live sensor loop
+    that needs every pose within a frame time keeps chunk=1.
+
+    Returns:
+      chunk_step(state, lefts, rights, keys) ->
+          (new_state, FrameOutput stacked over the leading K axis)
+      where lefts/rights are (K, H, W) and keys is a (K,)-stacked PRNG key
+      array (one `fold_in(key, t)` per frame, preserving the bit-exact
+      resume contract).
+    """
+    step = build_frame_step(calib, F, cfg, backend=backend)
+
+    def chunk_step(state: FrameState, lefts, rights, keys):
+        def body(st, xs):
+            im1, im2, k = xs
+            st, out = step(st, im1, im2, k)
+            return st, out
+
+        return jax.lax.scan(body, state, (lefts, rights, keys))
+
+    return chunk_step
+
+
 import functools
 
 
@@ -348,6 +390,15 @@ def _jitted_step(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
     F = np.frombuffer(f_bytes, np.float64).reshape(3, 3)
     return jax.jit(build_frame_step(calib, F, cfg, backend=backend,
                                     debug=debug))
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_chunk(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
+                  backend: str, chunk: int):
+    """Compiled K-frames-per-dispatch step (see _jitted_step)."""
+    F = np.frombuffer(f_bytes, np.float64).reshape(3, 3)
+    return jax.jit(build_frame_chunk(calib, F, cfg, chunk,
+                                     backend=backend))
 
 
 @dataclasses.dataclass
@@ -366,7 +417,8 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
                         seed: int = 0, backend: str = "xla",
                         on_frame=None, dbg_dir=None,
                         checkpoint=None,
-                        fingerprint_scope: str = "") -> SequenceResult:
+                        fingerprint_scope: str = "",
+                        chunk: int = 1) -> SequenceResult:
     """Host driver: stream stereo pairs through the jitted step.
 
     The analog of the reference `sequence_odometry` loop + the `kitti`
@@ -389,6 +441,14 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
       fingerprint_scope: string identifying the input slice (e.g. the
         KITTI begin/end range); a checkpoint written under a different
         scope is rejected instead of silently misaligning frames.
+      chunk: frames per device dispatch (build_frame_chunk).  >1 scans
+        `chunk` per-frame steps inside one launch — bitwise-identical
+        outputs (tested), K× fewer dispatches; results still stream
+        through the same pending-futures path, just K at a time.  Debug
+        runs (``dbg_dir``) force per-frame dispatch: the artifact writer
+        reads every frame's tensors back anyway, so there is nothing to
+        amortize.  The tail of a sequence shorter than the next multiple
+        of `chunk` runs through the per-frame step.
     """
     from libviso_tpu.utils.debug_viz import DebugDumper
 
@@ -470,6 +530,54 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
             })
         pending.clear()
 
+    # chunked dispatch: buffer K frames, run them as one launch.  Debug
+    # runs stay per-frame (the artifact writer syncs every frame anyway).
+    use_chunk = chunk > 1 and not debug
+    cstep = _jitted_chunk(calib, np.ascontiguousarray(F).tobytes(), cfg,
+                          backend, chunk) if use_chunk else None
+    buf = []  # [(t, im1_dev, im2_dev)] pending group
+
+    # Per-frame fold_in keys are prefetched in blocks of 8 chunks: building
+    # them eagerly per group (fold_in + stack in the dispatch path) stalls
+    # the async pipeline for a full RTT per group on tunneled chips
+    # (measured in bench.py's chunked mode: 147 vs 572 fps at chunk=4).
+    # One vmapped fold_in per block keeps the key computation off the
+    # critical path; slices of the block are lazy device views.
+    _kblock = {"start": -1, "keys": None}
+
+    def _keys_for(ts):
+        span = chunk * 8
+        if _kblock["keys"] is None or not (
+                _kblock["start"] <= ts[0] and
+                ts[-1] < _kblock["start"] + span):
+            _kblock["start"] = ts[0]
+            _kblock["keys"] = jax.vmap(
+                lambda i: jax.random.fold_in(key, i))(
+                    jnp.arange(ts[0], ts[0] + span, dtype=jnp.uint32))
+        off = ts[0] - _kblock["start"]
+        return _kblock["keys"][off:off + len(ts)]
+
+    def _run_buf():
+        nonlocal state
+        ts = [b[0] for b in buf]
+        lefts = jnp.stack([b[1] for b in buf])
+        rights = jnp.stack([b[2] for b in buf])
+        keys = _keys_for(ts)
+        state, outs = cstep(state, lefts, rights, keys)
+        for i, ft in enumerate(ts):
+            # lazy per-frame slices: device futures, no host sync here
+            out_i = jax.tree_util.tree_map(lambda x, i=i: x[i], outs)
+            pending.append((ft, out_i))
+            if on_frame is not None:
+                on_frame(ft, out_i)
+        buf.clear()
+        if checkpoint is not None and (
+                (ts[-1] + 1) // checkpoint.every > ts[0] // checkpoint.every):
+            # a snapshot boundary fell inside this chunk: snapshot at the
+            # chunk end (resume stays bit-exact; only the cadence shifts)
+            _flush()
+            _snapshot(ts[-1] + 1)
+
     for t, (im1, im2) in enumerate(frames, start=start):
         if t < t0:  # already covered by the restored checkpoint
             continue
@@ -477,6 +585,11 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
         # detector casts on-device
         im1 = jnp.asarray(im1)
         im2 = jnp.asarray(im2)
+        if use_chunk:
+            buf.append((t, im1, im2))
+            if len(buf) == chunk:
+                _run_buf()
+            continue
         prev_state = state
         if debug:
             state, out, dbg = step(state, im1, im2,
@@ -504,6 +617,15 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
         if checkpoint is not None and (t + 1) % checkpoint.every == 0:
             _flush()
             _snapshot(t + 1)
+
+    for ft, im1, im2 in buf:
+        # tail shorter than one chunk: finish with the per-frame step
+        # (same graph as chunk=1, same keys — bitwise identical result)
+        state, out = step(state, im1, im2, jax.random.fold_in(key, ft))
+        pending.append((ft, out))
+        if on_frame is not None:
+            on_frame(ft, out)
+    buf.clear()
 
     _flush()
     if checkpoint is not None and motions:
