@@ -112,8 +112,10 @@ def main():
     # enough DISTINCT frames that a streaming rep never repeats inputs
     # within a window (VERDICT r1 weak #2: a 10-frame loop was the most
     # favorable defensible choice; now every rep of a window sees a
-    # different frame up to 60)
-    n_frames = max(window, min(reps, 60), 10)
+    # different frame up to 60).  `chunk` joins the floor so a chunked
+    # run always has at least one full frame group (ADVICE r2 #1:
+    # chunk > n_frames used to crash with n_groups == 0).
+    n_frames = max(window, min(reps, 60), 10, chunk)
     seq = generate_sequence(num_frames=n_frames, num_points=900,
                             seed=0, width=1241, height=376, f=718.856,
                             base=0.5371657, speed=0.8)

@@ -142,3 +142,33 @@ def test_resume_bit_exact_while_recovery_state_held(tmp_path, tiny_cfg,
                                   checkpoint=mgr)
     np.testing.assert_array_equal(resumed.motions, full.motions)
     np.testing.assert_array_equal(resumed.frame_ok, full.frame_ok)
+
+
+def test_chunked_resume_bit_exact(tmp_path, tiny_cfg):
+    """Chunked dispatch (chunk=3) + a checkpoint cadence (every=2) that is
+    NOT a multiple of the chunk: boundaries falling inside a chunk defer
+    the snapshot to the chunk end, multiple boundaries inside one chunk
+    collapse to one snapshot, and a resume from a chunk-end frame is
+    bit-identical to the chunk=1 no-checkpoint run (ADVICE r2 #3 — the
+    cadence arithmetic in run_stereo_sequence's _run_buf)."""
+    seq10 = generate_sequence(num_frames=10, num_points=300, width=160,
+                              height=96, f=120.0, seed=3)
+    full = run_stereo_sequence(seq10.frames, seq10.P1, seq10.P2, tiny_cfg,
+                               seed=0)  # chunk=1, no checkpoint
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=2)
+    # interrupted run: 6 frames = two full chunks.  every=2 boundaries at
+    # t=2 (inside chunk [0,3)) and t=4,6 (inside chunk [3,6) — collapsed):
+    # snapshots land at chunk ends 3 and 6 only.
+    run_stereo_sequence(seq10.frames[:6], seq10.P1, seq10.P2, tiny_cfg,
+                        seed=0, checkpoint=mgr, chunk=3)
+    assert mgr.latest().next_frame == 6
+
+    resumed = run_stereo_sequence(seq10.frames, seq10.P1, seq10.P2,
+                                  tiny_cfg, seed=0, checkpoint=mgr,
+                                  chunk=3)
+    # resume covers frames 6-9: one chunk [6,9) + a 1-frame tail
+    np.testing.assert_array_equal(resumed.motions, full.motions)
+    np.testing.assert_array_equal(resumed.frame_ok, full.frame_ok)
+    np.testing.assert_allclose(resumed.poses, full.poses, rtol=0, atol=0)
+    assert [s["frame"] for s in resumed.stats] == list(range(10))
