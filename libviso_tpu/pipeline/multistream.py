@@ -1,0 +1,170 @@
+"""Multi-stream stereo odometry: S independent sequences per dispatch.
+
+The reference processes exactly one sequence per process (src/kitti.cpp:79-118
+runs one `sequence_odometry` per invocation; batch runs loop over sequences
+serially).  On a TPU that wastes the chip: one KITTI frame's work — three
+1280x1280x128 match matmuls, a 32-lane RANSAC, a handful of stencils — is
+far below the MXU's saturation point, so the per-frame step leaves most of
+the hardware idle.  Production serving (all 11 KITTI sequences, many camera
+feeds) wants them *batched on one chip*, not queued.
+
+TPU-native design: the per-frame step (pipeline/stereo.py::build_frame_step)
+is a pure fixed-shape function of (state, images, key), so S streams are one
+`jax.vmap` over stacked states — every matmul becomes a batched matmul,
+every stencil processes (S, H, W), and ONE dispatch advances S sequences by
+one frame.  Per-stream calibration rides along as mapped scalar arrays
+(different KITTI sequences have different intrinsics), and per-stream
+`fold_in` keys keep each stream's RANSAC draw identical to its solo run.
+
+Semantics: stream s consumes exactly the keys, images, and calibration its
+solo `run_stereo_sequence` would (per-frame `fold_in(PRNGKey(seed_s), t)`),
+and vmapped `while_loop`s mask converged lanes' updates — but batching is
+NOT bitwise-neutral: vmap lowers to *batched* XLA ops (batched matmuls,
+batched reductions) whose f32 accumulation order differs from the solo
+graph's at the ULP level (measured: motion components match solo to
+~1e-7, i.e. f32 float noise; discrete per-frame decisions — ok flags,
+circle/inlier counts — matched exactly on every tested sequence).  This is
+the same caveat as any recompile with a different fusion plan; the
+bit-exact modes remain the serial/chunked/PP/DP paths, which all reuse the
+per-frame graph unchanged.  tests/test_multistream.py pins the contract:
+identical discrete stats, motions within float noise, ATE-vs-GT equal to
+solo within 1e-6 m.
+
+Scaling intuition (measured numbers in docs/performance.md "Multi-stream
+serving"): frame cost is sublinear in S until the matcher matmuls saturate
+the MXU, so aggregate frames/s rises with S; latency per frame rises too —
+this is the throughput/serving mode, streaming (S=1) remains the latency
+mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.geometry.mvg import F_from_P_host
+from libviso_tpu.geometry.se3 import chain_motions
+from libviso_tpu.pipeline.stereo import (
+    SequenceResult,
+    build_frame_step,
+    empty_state,
+)
+
+
+def build_multistream_step(cfg: PipelineConfig, backend: str = "xla"):
+    """Build the vmapped S-stream frame step.
+
+    Returns:
+      step(calib4, F, states, im1s, im2s, keys) ->
+          (new_states, FrameOutput batched over the leading S axis)
+      where calib4 is (S, 4) float32 rows [f, cu, cv, base] (the same
+      derivation as Calib.from_projections, src/viso.cpp:1183-1187), F is
+      (S, 3, 3), states an S-stacked FrameState pytree, im1s/im2s
+      (S, H, W), keys (S,) PRNG keys.  Calibration is a *traced* input:
+      one compiled program serves any set of streams of one image shape.
+    """
+
+    def one(calib4, F, state, im1, im2, key):
+        calib = Calib(f=calib4[0], cu=calib4[1], cv=calib4[2],
+                      base=calib4[3])
+        step = build_frame_step(calib, F, cfg, backend=backend)
+        return step(state, im1, im2, key)
+
+    return jax.vmap(one)
+
+
+def stack_states(states) -> object:
+    """Stack per-stream FrameState pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_multistream(cfg: PipelineConfig, backend: str):
+    return jax.jit(build_multistream_step(cfg, backend=backend))
+
+
+def run_multistream(sequences: Sequence, P1s, P2s,
+                    cfg: PipelineConfig = PipelineConfig(),
+                    seeds: Sequence[int] | None = None,
+                    backend: str = "xla") -> List[SequenceResult]:
+    """Drive S sequences in lockstep through the vmapped step.
+
+    Args:
+      sequences: list of per-stream frame lists, each ``[(imL, imR), ...]``
+        with one shared (H, W).  Streams may have different lengths; short
+        streams idle on their last frame (their extra outputs are
+        discarded, and their RANSAC keys are never consumed early, so
+        results match the solo runs exactly).
+      P1s, P2s: per-stream 3x4 projection matrices.
+      seeds: per-stream PRNG seeds (default: 0..S-1).  Each stream uses
+        fold_in(PRNGKey(seed_s), t) — the same per-frame key contract as
+        `run_stereo_sequence`, which is what makes stream outputs
+        bit-identical to solo runs.
+
+    Returns:
+      One SequenceResult per stream (poses/motions/frame_ok/stats),
+      truncated to that stream's own length.
+    """
+    S = len(sequences)
+    assert len(P1s) == S and len(P2s) == S
+    if seeds is None:
+        seeds = list(range(S))
+    lengths = [len(fr) for fr in sequences]
+    T = max(lengths)
+
+    calib4 = np.zeros((S, 4), np.float32)
+    Fs = np.zeros((S, 3, 3), np.float64)
+    for s in range(S):
+        c = Calib.from_projections(P1s[s], P2s[s])
+        calib4[s] = [c.f, c.cu, c.cv, c.base]
+        Fs[s] = F_from_P_host(P1s[s], P2s[s])
+    calib4 = jnp.asarray(calib4)
+    Fs = jnp.asarray(Fs)
+
+    step = _jitted_multistream(cfg, backend)
+    keys = [jax.random.PRNGKey(s) for s in seeds]
+
+    states = stack_states([empty_state(cfg) for _ in range(S)])
+    pending = []  # (t, FrameOutput batched over S) device futures
+    for t in range(T):
+        im1s = jnp.stack([jnp.asarray(sequences[s][min(t, lengths[s] - 1)][0])
+                          for s in range(S)])
+        im2s = jnp.stack([jnp.asarray(sequences[s][min(t, lengths[s] - 1)][1])
+                          for s in range(S)])
+        kt = jnp.stack([jax.random.fold_in(keys[s], t) for s in range(S)])
+        states, out = step(calib4, Fs, states, im1s, im2s, kt)
+        pending.append((t, out))
+
+    # materialize once at the end (host syncs per frame would serialize
+    # the async dispatch pipeline — same discipline as run_stereo_sequence)
+    results = []
+    for s in range(S):
+        Ts = lengths[s]
+        motions = np.stack([np.asarray(out.tr[s])
+                            for t, out in pending[:Ts]])
+        oks = np.array([bool(out.ok[s]) and t != 0
+                        for t, out in pending[:Ts]])
+        stats = [{
+            "frame": t,
+            "ok": bool(oks[t]),
+            "num_kp1": int(out.num_kp1[s]),
+            "num_lr": int(out.num_lr[s]),
+            "num_circle": int(out.num_circle[s]),
+            "num_inliers": int(out.num_inliers[s]),
+            "reproj_rms": float(out.rms[s]),
+            "sharpness": float(out.sharpness[s]),
+        } for t, out in pending[:Ts]]
+        from libviso_tpu.geometry.se3 import pose_vector_to_matrix
+
+        Tr = pose_vector_to_matrix(jnp.asarray(motions))
+        poses = np.asarray(chain_motions(Tr, jnp.asarray(oks)))
+        results.append(SequenceResult(poses=poses, motions=motions,
+                                      frame_ok=oks, stats=stats,
+                                      processed=Ts))
+    return results

@@ -1,0 +1,63 @@
+"""Multi-stream serving mode (pipeline/multistream.py).
+
+Contract under test: stream s of a vmapped S-stream run matches running
+that sequence alone through run_stereo_sequence with the same seed —
+identical discrete decisions (ok flags, match/inlier counts), motions
+within f32 float noise (vmap lowers to batched XLA ops whose accumulation
+order differs from the solo graph at the ULP level — measured ~1e-7; see
+the module docstring), and end-pose/ATE agreement well below any
+trajectory-meaningful scale.
+"""
+
+import numpy as np
+import pytest
+
+from libviso_tpu.config import DetectorConfig, PipelineConfig, RansacConfig
+from libviso_tpu.pipeline import run_stereo_sequence
+from libviso_tpu.pipeline.multistream import run_multistream
+from libviso_tpu.synthetic import generate_sequence
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return PipelineConfig(
+        detector=DetectorConfig(max_features=120, nbinx=6, nbiny=2,
+                                num_slots=128),
+        ransac=RansacConfig(num_hypotheses=16, gn_iters=10),
+    )
+
+
+def test_multistream_matches_solo_runs(tiny_cfg):
+    """Two streams with different scenes, lengths, seeds, and calibration
+    (focal lengths differ): each stream must reproduce its solo run —
+    discrete stats exactly, motions/poses within f32 float noise.
+    Unequal lengths exercise the idle-on-last-frame path for the shorter
+    stream."""
+    seq_a = generate_sequence(num_frames=6, num_points=300, width=160,
+                              height=96, f=120.0, seed=3)
+    seq_b = generate_sequence(num_frames=4, num_points=260, width=160,
+                              height=96, f=140.0, seed=11, speed=0.6)
+
+    solo_a = run_stereo_sequence(seq_a.frames, seq_a.P1, seq_a.P2,
+                                 tiny_cfg, seed=0)
+    solo_b = run_stereo_sequence(seq_b.frames, seq_b.P1, seq_b.P2,
+                                 tiny_cfg, seed=1)
+
+    multi = run_multistream([seq_a.frames, seq_b.frames],
+                            [seq_a.P1, seq_b.P1], [seq_a.P2, seq_b.P2],
+                            tiny_cfg, seeds=[0, 1])
+
+    for solo, got in ((solo_a, multi[0]), (solo_b, multi[1])):
+        # discrete per-frame decisions: exact
+        np.testing.assert_array_equal(got.frame_ok, solo.frame_ok)
+        assert len(got.stats) == len(solo.stats)
+        for gs, ss in zip(got.stats, solo.stats):
+            for k in ("frame", "ok", "num_kp1", "num_lr", "num_circle",
+                      "num_inliers"):
+                assert gs[k] == ss[k], (k, gs, ss)
+        # continuous outputs: f32 float-noise tolerance (vmap batching
+        # reorders accumulations; see module docstring)
+        np.testing.assert_allclose(got.motions, solo.motions,
+                                   rtol=0, atol=5e-6)
+        np.testing.assert_allclose(got.poses, solo.poses,
+                                   rtol=0, atol=5e-5)
