@@ -9,14 +9,20 @@ KITTI-sized (376 x 1241) stereo frames — full detection at 1200 corners,
 3 dense 1280x1280 match problems and 64-hypothesis RANSAC+GN per frame —
 steady-state (post-compile).
 
-Default mode times the per-frame streaming step on pre-staged device
-frames: this container reaches its TPU through a ~34 MB/s network tunnel,
-3 orders of magnitude below a production host's DMA path, so counting the
-tunnel would benchmark the harness, not the engine.  --upload switches to
-the batched mode that re-ships uint8 frames every step for an
-end-to-end-including-transfer number.
+Default mode times chunked streaming (4 frames per dispatch via lax.scan
+of the per-frame step — outputs bit-identical to per-frame dispatch) on
+pre-staged device frames: this container reaches its TPU through a
+~34 MB/s network tunnel, 3 orders of magnitude below a production host's
+DMA path, so counting the tunnel would benchmark the harness, not the
+engine.  --upload switches to the batched mode that re-ships uint8 frames
+every step for an end-to-end-including-transfer number.
 
 Flags:
+  --chunk=K        frames per dispatch (default 4; 1 = per-frame latency
+                   mode, bit-identical outputs either way)
+  --streams=S      multi-stream serving mode: S independent sequences
+                   advanced per dispatch (aggregate fps; opt-in — see
+                   docs/performance.md "Multi-stream serving")
   --upload         batched mode, host->device transfer included
   --metric=l1|l2   descriptor metric (default l2 = MXU fast path;
                    l1 = strict reference parity on the VPU)
@@ -98,7 +104,14 @@ def main():
     hyp = _flag("hyp", None)
     window = int(_flag("window", "8"))
     reps = int(_flag("reps", "30"))
-    chunk = int(_flag("chunk", "1"))
+    # default chunk=4: K frames per dispatch via lax.scan of the SAME
+    # per-frame step — outputs bit-identical to K=1 (tested), but the
+    # tunnel's ~27 ms per-dispatch RPC amortizes over K frames.  Chunked
+    # won on BOTH observed tunnel regimes (r2: 572 vs 382 fps; r3: 416
+    # vs 208 — docs/performance.md "Chunked streaming"); --chunk=1 is
+    # the per-frame latency mode.
+    chunk = int(_flag("chunk", "4"))
+    streams = int(_flag("streams", "1"))
     staged = "--staged" in sys.argv
     streaming = "--upload" not in sys.argv and not staged
 
@@ -129,20 +142,70 @@ def main():
         #
         # chunk>1 dispatches `chunk` frames per launch (lax.scan of the
         # SAME per-frame step — bit-identical outputs, tested).  The
-        # per-frame step computes in ~1.5 ms on-chip with ~27 ms fixed
-        # dispatch overhead, so chunking SHOULD win — but on this tunnel
-        # chunked executions do not overlap the way per-frame ones do
-        # (measured: K=4 -> 147 fps, K=8 -> 232 vs K=1's 382; each
-        # chunked call pays a full serialized RTT, docs/performance.md
-        # "Chunked streaming").  Default stays 1 here; on production
-        # hosts (launch overhead ~µs, no RPC) chunk>1 is the cheap
-        # launch-amortization knob.
+        # early chunked measurements (147/232 fps at K=4/8 vs K=1's 382)
+        # were an artifact of building fold_in key stacks eagerly inside
+        # the timed loop, which serialized the dispatch pipeline; with
+        # every key stack pre-staged (below) chunking wins on every
+        # observed tunnel regime (docs/performance.md "Chunked
+        # streaming").  On production hosts (launch overhead ~µs, no
+        # RPC) chunking remains the standard launch-amortization knob.
         from libviso_tpu.pipeline.stereo import build_frame_chunk
 
         frames = [(jnp.asarray(l.astype(np.uint8)), jnp.asarray(r.astype(np.uint8)))
                   for l, r in seq.frames]
         state = empty_state(cfg)
-        if chunk > 1:
+        if streams > 1:
+            # multi-stream serving mode (pipeline/multistream.py): ONE
+            # dispatch advances S streams by one frame; aggregate fps =
+            # S x frame rate.  Streams view the same pre-staged frames at
+            # different phase offsets with per-stream keys, so no two
+            # dispatches ever repeat a (frame, key) pair.
+            from libviso_tpu.pipeline.multistream import (
+                build_multistream_step,
+                stack_states,
+            )
+
+            S = streams
+            mstep = jax.jit(build_multistream_step(cfg, backend=backend))
+            calib4 = jnp.asarray(
+                np.tile(np.array([calib.f, calib.cu, calib.cv, calib.base],
+                                 np.float32), (S, 1)))
+            Fs = jnp.asarray(np.tile(np.asarray(F)[None], (S, 1, 1)))
+            n_fr = len(frames)
+            lstack = [jnp.stack([frames[(t + 7 * s) % n_fr][0]
+                                 for s in range(S)]) for t in range(n_fr)]
+            rstack = [jnp.stack([frames[(t + 7 * s) % n_fr][1]
+                                 for s in range(S)]) for t in range(n_fr)]
+            skeys = [jax.random.PRNGKey(s) for s in range(S)]
+
+            def keys_at(t):
+                return jnp.stack([jax.random.fold_in(skeys[s], t)
+                                  for s in range(S)])
+
+            kstacks = [keys_at(100 + w * reps + t)
+                       for w in range(5) for t in range(reps)]
+            jax.block_until_ready(kstacks[-1])
+            mstates = stack_states([empty_state(cfg) for _ in range(S)])
+            for t in range(3):
+                mstates, out = mstep(calib4, Fs, mstates,
+                                     lstack[t % n_fr], rstack[t % n_fr],
+                                     keys_at(t))
+            jax.block_until_ready(out)
+            window_fps = []
+            for w in range(5):
+                t0 = time.perf_counter()
+                n = 0
+                for t in range(reps):
+                    mstates, out = mstep(calib4, Fs, mstates,
+                                         lstack[t % n_fr],
+                                         rstack[t % n_fr],
+                                         kstacks[w * reps + t])
+                    n += S
+                jax.block_until_ready(out)
+                window_fps.append(n / (time.perf_counter() - t0))
+            fps = float(np.median(window_fps))
+            fps_best = max(window_fps)
+        elif chunk > 1:
             cstep = jax.jit(build_frame_chunk(calib, F, cfg, chunk,
                                               backend=backend))
             # pre-staged frame stacks + per-frame fold_in keys, grouped.
@@ -284,6 +347,9 @@ def main():
     }
     if streaming:
         line["value_best_window"] = round(fps_best, 3)
+        line["mode"] = (f"serving_streams{streams}" if streams > 1
+                        else f"streaming_chunk{chunk}" if chunk > 1
+                        else "streaming_per_frame")
     watchdog.cancel()  # before printing: exactly ONE line either way
     print(json.dumps(line))
 
