@@ -156,51 +156,71 @@ def main():
         state = empty_state(cfg)
         if streams > 1:
             # multi-stream serving mode (pipeline/multistream.py): ONE
-            # dispatch advances S streams by one frame; aggregate fps =
-            # S x frame rate.  Streams view the same pre-staged frames at
-            # different phase offsets with per-stream keys, so no two
-            # dispatches ever repeat a (frame, key) pair.
+            # dispatch advances S streams by chunk frames; aggregate
+            # fps = S x K x dispatch rate.  Streams view the same
+            # pre-staged frames at different phase offsets with
+            # per-stream keys, so no two dispatches ever repeat a
+            # (frame, key) pair.
             from libviso_tpu.pipeline.multistream import (
+                build_multistream_chunk,
                 build_multistream_step,
                 stack_states,
             )
 
-            S = streams
-            mstep = jax.jit(build_multistream_step(cfg, backend=backend))
+            S, K = streams, max(1, chunk)
+            if K > 1:
+                mstep = jax.jit(build_multistream_chunk(cfg, K,
+                                                        backend=backend))
+            else:
+                mstep = jax.jit(build_multistream_step(cfg,
+                                                       backend=backend))
             calib4 = jnp.asarray(
                 np.tile(np.array([calib.f, calib.cu, calib.cv, calib.base],
                                  np.float32), (S, 1)))
             Fs = jnp.asarray(np.tile(np.asarray(F)[None], (S, 1, 1)))
             n_fr = len(frames)
-            lstack = [jnp.stack([frames[(t + 7 * s) % n_fr][0]
-                                 for s in range(S)]) for t in range(n_fr)]
-            rstack = [jnp.stack([frames[(t + 7 * s) % n_fr][1]
-                                 for s in range(S)]) for t in range(n_fr)]
+
+            def im_at(t):  # (S, H, W) or (S, K, H, W) stacks, staged once
+                if K == 1:
+                    return (jnp.stack([frames[(t + 7 * s) % n_fr][0]
+                                       for s in range(S)]),
+                            jnp.stack([frames[(t + 7 * s) % n_fr][1]
+                                       for s in range(S)]))
+                return tuple(
+                    jnp.stack([jnp.stack([frames[(t + i + 7 * s) % n_fr][c]
+                                          for i in range(K)])
+                               for s in range(S)]) for c in (0, 1))
+
+            stacks = [im_at(t * K) for t in range(min(n_fr, 16))]
             skeys = [jax.random.PRNGKey(s) for s in range(S)]
 
-            def keys_at(t):
-                return jnp.stack([jax.random.fold_in(skeys[s], t)
-                                  for s in range(S)])
+            def keys_at(t):  # (S,) or (S, K) key stacks
+                if K == 1:
+                    return jnp.stack([jax.random.fold_in(skeys[s], t)
+                                      for s in range(S)])
+                return jnp.stack([
+                    jnp.stack([jax.random.fold_in(skeys[s], t + i)
+                               for i in range(K)]) for s in range(S)])
 
-            kstacks = [keys_at(100 + w * reps + t)
-                       for w in range(5) for t in range(reps)]
+            d_per_w = max(1, reps // K)  # dispatches per window
+            kstacks = [keys_at(100 + (w * d_per_w + g) * K)
+                       for w in range(5) for g in range(d_per_w)]
             jax.block_until_ready(kstacks[-1])
             mstates = stack_states([empty_state(cfg) for _ in range(S)])
             for t in range(3):
-                mstates, out = mstep(calib4, Fs, mstates,
-                                     lstack[t % n_fr], rstack[t % n_fr],
-                                     keys_at(t))
+                ls, rs = stacks[t % len(stacks)]
+                mstates, out = mstep(calib4, Fs, mstates, ls, rs,
+                                     keys_at(t * K))
             jax.block_until_ready(out)
             window_fps = []
             for w in range(5):
                 t0 = time.perf_counter()
                 n = 0
-                for t in range(reps):
-                    mstates, out = mstep(calib4, Fs, mstates,
-                                         lstack[t % n_fr],
-                                         rstack[t % n_fr],
-                                         kstacks[w * reps + t])
-                    n += S
+                for g in range(d_per_w):
+                    ls, rs = stacks[g % len(stacks)]
+                    mstates, out = mstep(calib4, Fs, mstates, ls, rs,
+                                         kstacks[w * d_per_w + g])
+                    n += S * K
                 jax.block_until_ready(out)
                 window_fps.append(n / (time.perf_counter() - t0))
             fps = float(np.median(window_fps))
@@ -347,7 +367,8 @@ def main():
     }
     if streaming:
         line["value_best_window"] = round(fps_best, 3)
-        line["mode"] = (f"serving_streams{streams}" if streams > 1
+        line["mode"] = (f"serving_streams{streams}x chunk{chunk}".replace(
+                            "x ", "_") if streams > 1
                         else f"streaming_chunk{chunk}" if chunk > 1
                         else "streaming_per_frame")
     watchdog.cancel()  # before printing: exactly ONE line either way

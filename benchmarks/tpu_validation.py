@@ -1,24 +1,23 @@
 """One-shot TPU validation sweep: run after tunnel recovery.
 
-Round-2 changed the default matcher metric (l2), added l2q8, and
-re-tuned the bench methodology; the docs cite round-1 measurements.
-This runner produces the doc-ready numbers in one pass on the real
-chip:
+The tunnel's dispatch-overlap quality varies by session (round 3
+measured per-frame K=1 at 208 fps where round 2 saw 382 — same binary,
+same chip), so docs cite numbers from whichever sweep last ran.  This
+runner produces the doc-ready numbers in one pass on the real chip:
 
-    python benchmarks/tpu_validation.py [--reps 30]
+    python benchmarks/tpu_validation.py [--reps 32] [--round N]
 
-Prints a markdown table to stdout and writes benchmarks/tpu_r2.json.
+Prints a markdown table to stdout and writes benchmarks/tpu_r{N}.json.
 Each bench invocation is a SUBPROCESS so one compile failure cannot
 take down the sweep, and the one-JSON-line bench contract is consumed
 as-is.
 
-After a successful sweep, refresh every doc line that cites the
-round-1 chip numbers (354 fps l2 / 240 fps l1, measured BEFORE the
-32-lane RANSAC default and the l2q8 mode):
-  README.md:15, CLAUDE.md (headline block), docs/performance.md
-  (mode table + stage table note), docs/scaling.md (~line 29),
-  .claude/skills/verify/SKILL.md (bench expectations),
-  docs/limitations.md ("Round-2 TPU re-measurement" item — delete it).
+After a successful sweep, refresh every doc line that cites chip
+numbers:
+  README.md (headline), CLAUDE.md (headline block), docs/performance.md
+  (mode table + "Chunked streaming" + "Multi-stream serving"),
+  docs/scaling.md (~line 29), .claude/skills/verify/SKILL.md (bench
+  expectations), PARITY.md (multi-stream row).
 """
 
 import argparse
@@ -49,14 +48,22 @@ def run_bench(extra, reps, timeout=900):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--reps", type=int, default=32)
+    ap.add_argument("--round", type=int, default=3)
     args = ap.parse_args(argv)
 
     modes = {
-        "l2 (default)": ["--metric=l2"],
-        "l2q8 (int8 MXU)": ["--metric=l2q8"],
-        "l1 (strict parity)": ["--metric=l1"],
-        "staged w16 (l2)": ["--metric=l2", "--staged", "--window=16"],
+        # single-sequence modes (the headline family)
+        "chunk4 l2 (default)": [],
+        "per-frame K=1 (latency mode)": ["--chunk=1"],
+        "chunk8": ["--chunk=8"],
+        "l2q8 chunk4 (int8 MXU)": ["--metric=l2q8"],
+        "l1 chunk4 (strict parity)": ["--metric=l1"],
+        "staged w16 (l2)": ["--staged", "--window=16"],
+        # serving modes (aggregate throughput, opt-in)
+        "serving S=4 K=1": ["--streams=4", "--chunk=1"],
+        "serving S=4 K=4": ["--streams=4"],
+        "serving S=8 K=4": ["--streams=8"],
     }
     results = {}
     print("| mode | fps (median) | best window | vs baseline |")
@@ -72,7 +79,7 @@ def main(argv=None):
         print(f"| {name} | {r['value']} | {best} | {r['vs_baseline']}x |",
               flush=True)
 
-    out = os.path.join(_REPO, "benchmarks", "tpu_r2.json")
+    out = os.path.join(_REPO, "benchmarks", f"tpu_r{args.round}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\nwrote {out}", file=sys.stderr)

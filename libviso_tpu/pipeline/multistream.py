@@ -79,6 +79,42 @@ def build_multistream_step(cfg: PipelineConfig, backend: str = "xla"):
     return jax.vmap(one)
 
 
+def build_multistream_chunk(cfg: PipelineConfig, chunk: int,
+                            backend: str = "xla"):
+    """S streams x K frames in ONE dispatch: `jax.vmap` over streams of a
+    `lax.scan` of the per-frame step (the same composition as
+    `build_frame_chunk`, stereo.py:339, with the multistream traced-
+    calibration contract).  This stacks both amortizations: the batched
+    matmuls feed the MXU like the S-stream step, while per-dispatch
+    overhead divides by a further K — on the round-3 tunnel S=4,K=4
+    measured 547 aggregate fps vs 539 for S=4,K=1, and K=8/S=8 variants
+    plateau at the same ~545: that is the chip's compute saturation for
+    this workload (~1.8 ms of device time per frame), the number every
+    dispatch-amortization knob converges to (docs/performance.md
+    "Multi-stream serving").
+
+    Returns:
+      step(calib4, F, states, lefts, rights, keys) ->
+          (new_states, FrameOutput batched over leading (S, K) axes)
+      with lefts/rights (S, K, H, W) and keys an (S, K)-stacked key array
+      (per stream: `fold_in(stream_key, t)` per frame — each stream
+      consumes exactly the keys its solo run would).
+    """
+
+    def one(calib4, F, state, lefts, rights, keys):
+        calib = Calib(f=calib4[0], cu=calib4[1], cv=calib4[2],
+                      base=calib4[3])
+        step = build_frame_step(calib, F, cfg, backend=backend)
+
+        def body(st, xs):
+            im1, im2, k = xs
+            return step(st, im1, im2, k)
+
+        return jax.lax.scan(body, state, (lefts, rights, keys))
+
+    return jax.vmap(one)
+
+
 def stack_states(states) -> object:
     """Stack per-stream FrameState pytrees along a new leading axis."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)

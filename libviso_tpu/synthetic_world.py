@@ -229,6 +229,42 @@ def build_street_scene(rng, length=120.0, half_width=9.0,
     return planes
 
 
+def build_plaza_scene(rng, center_xz=(0.0, 0.0), radius=18.0,
+                      wall_height=8.0, ground_y=1.65, n_walls=12,
+                      px_per_m=40.0):
+    """Enclosed plaza: a square ground slab + a regular-polygon perimeter
+    of facade wall segments, each with its own texture draw.  Built for
+    closed-circuit (loop-closure) drives: every heading sees distinctive
+    facades, and a revisit sees the same facades again."""
+    cx, cz = center_xz
+    planes = []
+    size = 2 * (radius + 8.0)
+    h = w = int(size * px_per_m)
+    planes.append(Plane(
+        origin=np.array([cx - size / 2, ground_y, cz - size / 2]),
+        eu=np.array([size, 0.0, 0.0]),
+        ev=np.array([0.0, 0.0, size]),
+        pyr=_mip_pyramid(make_road_texture(rng, h, w, px_per_m), 6),
+        px_per_m=px_per_m,
+    ))
+    for k in range(n_walls):
+        a0 = 2 * np.pi * k / n_walls
+        a1 = 2 * np.pi * (k + 1) / n_walls
+        p0 = np.array([cx + radius * np.cos(a0), ground_y,
+                       cz + radius * np.sin(a0)])
+        p1 = np.array([cx + radius * np.cos(a1), ground_y,
+                       cz + radius * np.sin(a1)])
+        seg = np.linalg.norm(p1 - p0)
+        hgt = wall_height + rng.uniform(-1.5, 2.0)
+        tex = make_facade_texture(rng, int(hgt * px_per_m),
+                                  int(seg * px_per_m))
+        planes.append(Plane(
+            origin=p0, eu=p1 - p0, ev=np.array([0.0, -hgt, 0.0]),
+            pyr=_mip_pyramid(tex, 6), px_per_m=px_per_m,
+        ))
+    return planes
+
+
 # ---------------------------------------------------------------------------
 # renderer
 
@@ -334,6 +370,51 @@ def generate_world_sequence(num_frames=8, seed=0, width=620, height=188,
     else:
         cam_steps = np.asarray(trajectory, np.float64)
         assert cam_steps.shape == (num_frames, 6)
+    return _sequence_from_scene(planes, cam_steps, seed, width, height,
+                                f, cu, cv, base, imaging, P1, P2)
+
+
+def generate_plaza_sequence(num_frames=40, seed=0, width=416, height=160,
+                            f=360.0, base=0.54, radius=10.0,
+                            plaza_radius=18.0,
+                            imaging: Optional[Imaging] = None,
+                            px_per_m=30.0) -> SyntheticSequence:
+    """Render a closed-circuit drive around a plaza (loop-closure
+    oracle): constant yaw + chord steps trace a circle of ``radius``
+    inside a facade perimeter at ``plaza_radius``.  Frame num_frames-1
+    returns to (and re-views) frame 0's pose heading, so revisit
+    detection faces the same facades under accumulated VO drift."""
+    rng = np.random.default_rng(seed)
+    cu, cv = width / 2.0, height / 2.0
+    P1 = np.array([[f, 0, cu, 0], [0, f, cv, 0], [0, 0, 1, 0]])
+    P2 = P1.copy()
+    P2[0, 3] = -f * base
+
+    yaw = 2 * np.pi / (num_frames - 1)
+    chord = 2 * radius * np.sin(yaw / 2)
+    cam_steps = np.zeros((num_frames, 6))
+    cam_steps[1:] = [0.0, yaw, 0.0, 0.0, 0.0, chord]
+
+    # place the plaza around the measured trajectory centroid
+    M = np.asarray(pose_vector_to_matrix(cam_steps))
+    pos = np.zeros((num_frames, 3))
+    P = np.eye(4)
+    for k in range(1, num_frames):
+        P = P @ M[k]
+        pos[k] = P[:3, 3]
+    cx, cz = pos[:, 0].mean(), pos[:, 2].mean()
+    planes = build_plaza_scene(rng, center_xz=(cx, cz),
+                               radius=plaza_radius, px_per_m=px_per_m)
+    return _sequence_from_scene(planes, cam_steps, seed, width, height,
+                                f, cu, cv, base, imaging, P1, P2)
+
+
+def _sequence_from_scene(planes, cam_steps, seed, width, height, f, cu,
+                         cv, base, imaging, P1, P2) -> SyntheticSequence:
+    """Chain GT poses from per-frame camera steps, render both views per
+    frame, and apply the shared `synthetic.Imaging` post-render model."""
+    num_frames = len(cam_steps)
+    rng = np.random.default_rng((seed, 0xF1E1D))
     M = np.asarray(pose_vector_to_matrix(cam_steps))
     gt_poses = np.zeros_like(M)
     gt_poses[0] = np.eye(4)

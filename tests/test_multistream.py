@@ -61,3 +61,64 @@ def test_multistream_matches_solo_runs(tiny_cfg):
                                    rtol=0, atol=5e-6)
         np.testing.assert_allclose(got.poses, solo.poses,
                                    rtol=0, atol=5e-5)
+
+
+def test_multistream_chunk_matches_per_frame(tiny_cfg):
+    """S=2 streams x K=2 frames per dispatch (build_multistream_chunk)
+    must reproduce the per-frame multistream drive: discrete decisions
+    exactly, motions within f32 float noise (the scan-over-vmapped-step
+    composition runs the same batched per-frame program; only fusion
+    boundaries differ)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libviso_tpu.config import Calib
+    from libviso_tpu.geometry.mvg import F_from_P_host
+    from libviso_tpu.pipeline.multistream import (
+        build_multistream_chunk,
+        stack_states,
+    )
+    from libviso_tpu.pipeline.stereo import empty_state
+
+    seq_a = generate_sequence(num_frames=4, num_points=300, width=160,
+                              height=96, f=120.0, seed=3)
+    seq_b = generate_sequence(num_frames=4, num_points=260, width=160,
+                              height=96, f=140.0, seed=11, speed=0.6)
+    multi = run_multistream([seq_a.frames, seq_b.frames],
+                            [seq_a.P1, seq_b.P1], [seq_a.P2, seq_b.P2],
+                            tiny_cfg, seeds=[0, 1])
+
+    S, K, T = 2, 2, 4
+    seqs = (seq_a, seq_b)
+    calib4 = np.zeros((S, 4), np.float32)
+    Fs = np.zeros((S, 3, 3))
+    for s, sq in enumerate(seqs):
+        c = Calib.from_projections(sq.P1, sq.P2)
+        calib4[s] = [c.f, c.cu, c.cv, c.base]
+        Fs[s] = F_from_P_host(sq.P1, sq.P2)
+    step = jax.jit(build_multistream_chunk(tiny_cfg, K))
+    states = stack_states([empty_state(tiny_cfg) for _ in range(S)])
+    keys = [jax.random.PRNGKey(s) for s in range(S)]
+
+    motions = [[] for _ in range(S)]
+    oks = [[] for _ in range(S)]
+    for g in range(T // K):
+        ls = jnp.stack([jnp.stack([jnp.asarray(seqs[s].frames[g * K + i][0])
+                                   for i in range(K)]) for s in range(S)])
+        rs = jnp.stack([jnp.stack([jnp.asarray(seqs[s].frames[g * K + i][1])
+                                   for i in range(K)]) for s in range(S)])
+        ks = jnp.stack([jnp.stack([jax.random.fold_in(keys[s], g * K + i)
+                                   for i in range(K)]) for s in range(S)])
+        states, out = step(jnp.asarray(calib4), jnp.asarray(Fs), states,
+                           ls, rs, ks)
+        for s in range(S):
+            for i in range(K):
+                t = g * K + i
+                motions[s].append(np.asarray(out.tr[s, i]))
+                oks[s].append(bool(out.ok[s, i]) and t != 0)
+
+    for s in range(S):
+        np.testing.assert_array_equal(np.array(oks[s]),
+                                      multi[s].frame_ok)
+        np.testing.assert_allclose(np.stack(motions[s]), multi[s].motions,
+                                   rtol=0, atol=5e-6)
