@@ -120,6 +120,31 @@ def stack_states(states) -> object:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+def jit_multistream_sharded(mesh, cfg: PipelineConfig, chunk: int = 1,
+                            backend: str = "xla",
+                            axis: str = "data"):
+    """Serving scale-out: jit the S-stream step with the STREAM axis
+    sharded over a mesh data axis.
+
+    Streams are independent sequences, so partitioning the leading axis
+    needs ZERO collectives — each device advances its S/n resident
+    streams and the program scales linearly over chips (the multi-chip
+    deployment shape for fleet serving: one process feeds N chips x
+    S/n streams each).  Per-stream results are unchanged by the
+    partitioning (each stream's compute never crosses the shard
+    boundary; tests pin equality against the unsharded vmap).
+
+    Returns the jitted step; S must be a multiple of mesh.shape[axis].
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn = (build_multistream_chunk(cfg, chunk, backend=backend)
+          if chunk > 1 else build_multistream_step(cfg, backend=backend))
+    shard = NamedSharding(mesh, P(axis))  # pytree-prefix: applies to
+    #                                       every leaf's leading S axis
+    return jax.jit(fn, in_shardings=(shard,) * 6, out_shardings=shard)
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted_multistream(cfg: PipelineConfig, backend: str):
     return jax.jit(build_multistream_step(cfg, backend=backend))

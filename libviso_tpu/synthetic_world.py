@@ -37,8 +37,46 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from libviso_tpu.geometry.se3 import pose_vector_to_matrix
 from libviso_tpu.synthetic import Imaging, SyntheticSequence
+
+# Pure-numpy pose helpers (the Euler-XYZ layout of geometry/se3.py and the
+# reference tr2mat, src/viso.cpp:109-133).  This module is host-side scene
+# generation: importing the jax versions would compile and round-trip
+# through the device backend — ~45 s through the TPU tunnel for three
+# trivial 4x4 products (measured) — so it stays numpy end to end.
+
+
+def _pose_matrix_np(tr):
+    """(..., 6) motion vectors -> (..., 4, 4) transforms (tr2mat layout)."""
+    tr = np.asarray(tr, np.float64)
+    rx, ry, rz = tr[..., 0], tr[..., 1], tr[..., 2]
+    sx, cx = np.sin(rx), np.cos(rx)
+    sy, cy = np.sin(ry), np.cos(ry)
+    sz, cz = np.sin(rz), np.cos(rz)
+    out = np.zeros(tr.shape[:-1] + (4, 4))
+    out[..., 0, 0] = cy * cz
+    out[..., 0, 1] = -cy * sz
+    out[..., 0, 2] = sy
+    out[..., 1, 0] = sx * sy * cz + cx * sz
+    out[..., 1, 1] = -sx * sy * sz + cx * cz
+    out[..., 1, 2] = -sx * cy
+    out[..., 2, 0] = -cx * sy * cz + sx * sz
+    out[..., 2, 1] = cx * sy * sz + sx * cz
+    out[..., 2, 2] = cx * cy
+    out[..., :3, 3] = tr[..., 3:6]
+    out[..., 3, 3] = 1.0
+    return out
+
+
+def _matrix_to_pose_np(T):
+    """Inverse of `_pose_matrix_np` (away from ry = +-pi/2 gimbal lock)."""
+    T = np.asarray(T, np.float64)
+    R = T[..., :3, :3]
+    ry = np.arcsin(np.clip(R[..., 0, 2], -1.0, 1.0))
+    rx = np.arctan2(-R[..., 1, 2], R[..., 2, 2])
+    rz = np.arctan2(-R[..., 0, 1], R[..., 0, 0])
+    return np.concatenate(
+        [np.stack([rx, ry, rz], axis=-1), T[..., :3, 3]], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -269,10 +307,53 @@ def build_plaza_scene(rng, center_xz=(0.0, 0.0), radius=18.0,
 # renderer
 
 
+def _clip_z(poly, eps):
+    """Sutherland-Hodgman clip of a camera-space polygon against z >= eps."""
+    out = []
+    m = len(poly)
+    for i in range(m):
+        a, b = poly[i], poly[(i + 1) % m]
+        ain, bin_ = a[2] >= eps, b[2] >= eps
+        if ain:
+            out.append(a)
+        if ain != bin_:
+            s = (eps - a[2]) / (b[2] - a[2])
+            out.append(a + s * (b - a))
+    return out
+
+
+def _plane_bbox(pl, C, R_wc, f, cu, cv, width, height, margin=3):
+    """Conservative image-space bbox of a plane's visible region: project
+    the quad's corners after clipping to the near plane.  Exact for
+    convex quads (the image of a convex polygon fully in front of the
+    camera is the convex hull of its projected vertices), so hits are
+    unchanged — this only skips pixels that cannot hit."""
+    corners = np.stack([pl.origin, pl.origin + pl.eu,
+                        pl.origin + pl.eu + pl.ev, pl.origin + pl.ev])
+    Xc = (corners - C) @ R_wc           # camera coords: R_wc^T (p - C)
+    poly = _clip_z(list(Xc), 0.05)
+    if not poly:
+        return None
+    P = np.stack(poly)
+    uc = f * P[:, 0] / P[:, 2] + cu
+    vc = f * P[:, 1] / P[:, 2] + cv
+    x0 = max(0, int(np.floor(uc.min())) - margin)
+    x1 = min(width, int(np.ceil(uc.max())) + margin + 1)
+    y0 = max(0, int(np.floor(vc.min())) - margin)
+    y1 = min(height, int(np.ceil(vc.max())) + margin + 1)
+    if x0 >= x1 or y0 >= y1:
+        return None
+    return x0, x1, y0, y1
+
+
 def render_view(planes, C, R_wc, f, cu, cv, width, height, sky=None,
                 sky_noise=None):
     """Render one pinhole view by ray casting every pixel against every
-    plane with a z-buffer and mipmapped texture sampling.
+    plane with a z-buffer and mipmapped texture sampling.  Per-plane work
+    is restricted to the projected-quad bounding box (`_plane_bbox`) —
+    an exact optimization: the hit set is unchanged, and the >=3 px
+    margin keeps the mip-level finite differences central at every
+    possible hit pixel.
 
     Args:
       C: (3,) camera center in world coordinates.
@@ -282,7 +363,7 @@ def render_view(planes, C, R_wc, f, cu, cv, width, height, sky=None,
     u, v = np.meshgrid(np.arange(width, dtype=np.float64),
                        np.arange(height, dtype=np.float64))
     dc = np.stack([(u - cu) / f, (v - cv) / f, np.ones_like(u)], axis=-1)
-    d = dc @ R_wc.T                     # (H, W, 3) world ray directions
+    d_full = dc @ R_wc.T                # (H, W, 3) world ray directions
     if sky is None:
         # bright overcast sky with a vertical gradient: skyline edges get
         # realistic high contrast against the facades
@@ -296,8 +377,13 @@ def render_view(planes, C, R_wc, f, cu, cv, width, height, sky=None,
     #                   style anisotropic clamp: grazing surfaces keep
     #                   detail along the uncompressed texture direction)
     for pl in planes:
+        bbox = _plane_bbox(pl, C, R_wc, f, cu, cv, width, height)
+        if bbox is None:
+            continue
+        x0, x1, y0, y1 = bbox
+        d = d_full[y0:y1, x0:x1]
         n = pl.normal
-        denom = d @ n                                   # (H, W)
+        denom = d @ n                                   # (h, w) window
         num = float((pl.origin - C) @ n)
         with np.errstate(divide="ignore", invalid="ignore"):
             t = num / denom
@@ -305,7 +391,9 @@ def render_view(planes, C, R_wc, f, cu, cv, width, height, sky=None,
             rel = p - pl.origin
             su = (rel @ pl.eu) / float(pl.eu @ pl.eu)   # in [0, 1]
             sv = (rel @ pl.ev) / float(pl.ev @ pl.ev)
-        hit = (t > 0.05) & np.isfinite(t) & (t < zbuf)
+        imgw = img[y0:y1, x0:x1]                        # views: writes
+        zw = zbuf[y0:y1, x0:x1]                         # go through
+        hit = (t > 0.05) & np.isfinite(t) & (t < zw)
         hit &= (su >= 0) & (su < 1) & (sv >= 0) & (sv < 1)
         if not hit.any():
             continue
@@ -330,8 +418,8 @@ def render_view(planes, C, R_wc, f, cu, cv, width, height, sky=None,
             level = np.log2(np.clip(np.nan_to_num(foot, nan=1.0),
                                     1.0, 1 << 20))
         vals = _sample_mip(pl.pyr, tx[hit], ty[hit], level[hit])
-        img[hit] = vals
-        zbuf[hit] = t[hit]
+        imgw[hit] = vals
+        zw[hit] = t[hit]
     return img
 
 
@@ -396,7 +484,7 @@ def generate_plaza_sequence(num_frames=40, seed=0, width=416, height=160,
     cam_steps[1:] = [0.0, yaw, 0.0, 0.0, 0.0, chord]
 
     # place the plaza around the measured trajectory centroid
-    M = np.asarray(pose_vector_to_matrix(cam_steps))
+    M = _pose_matrix_np(cam_steps)
     pos = np.zeros((num_frames, 3))
     P = np.eye(4)
     for k in range(1, num_frames):
@@ -415,14 +503,12 @@ def _sequence_from_scene(planes, cam_steps, seed, width, height, f, cu,
     frame, and apply the shared `synthetic.Imaging` post-render model."""
     num_frames = len(cam_steps)
     rng = np.random.default_rng((seed, 0xF1E1D))
-    M = np.asarray(pose_vector_to_matrix(cam_steps))
+    M = _pose_matrix_np(cam_steps)
     gt_poses = np.zeros_like(M)
     gt_poses[0] = np.eye(4)
     for k in range(1, num_frames):
         gt_poses[k] = gt_poses[k - 1] @ M[k]
-    from libviso_tpu.geometry.se3 import matrix_to_pose_vector
-
-    motions = np.asarray(matrix_to_pose_vector(np.linalg.inv(M)))
+    motions = _matrix_to_pose_np(np.linalg.inv(M))
 
     img_model = imaging or Imaging()
     irng = np.random.default_rng((seed, 0xD1CE))

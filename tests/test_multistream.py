@@ -122,3 +122,61 @@ def test_multistream_chunk_matches_per_frame(tiny_cfg):
                                       multi[s].frame_ok)
         np.testing.assert_allclose(np.stack(motions[s]), multi[s].motions,
                                    rtol=0, atol=5e-6)
+
+
+def test_multistream_sharded_over_mesh_matches_unsharded(tiny_cfg):
+    """Serving scale-out: the stream axis sharded over the 8-device CPU
+    mesh (jit_multistream_sharded) must reproduce the single-device
+    vmapped step — streams are independent, the partition inserts no
+    collectives, and per-stream compute never crosses the shard
+    boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from libviso_tpu.config import Calib
+    from libviso_tpu.geometry.mvg import F_from_P_host
+    from libviso_tpu.parallel import make_mesh
+    from libviso_tpu.pipeline.multistream import (
+        build_multistream_step,
+        jit_multistream_sharded,
+        stack_states,
+    )
+    from libviso_tpu.pipeline.stereo import empty_state
+
+    S = 8
+    seqs = [generate_sequence(num_frames=2, num_points=260, width=160,
+                              height=96, f=110.0 + 5 * s, seed=s)
+            for s in range(S)]
+    calib4 = np.zeros((S, 4), np.float32)
+    Fs = np.zeros((S, 3, 3))
+    for s, sq in enumerate(seqs):
+        c = Calib.from_projections(sq.P1, sq.P2)
+        calib4[s] = [c.f, c.cu, c.cv, c.base]
+        Fs[s] = F_from_P_host(sq.P1, sq.P2)
+    calib4, Fs = jnp.asarray(calib4), jnp.asarray(Fs)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = jit_multistream_sharded(mesh, tiny_cfg)
+    plain = jax.jit(build_multistream_step(tiny_cfg))
+
+    def drive(step):
+        states = stack_states([empty_state(tiny_cfg) for _ in range(S)])
+        outs = []
+        for t in range(2):
+            im1s = jnp.stack([jnp.asarray(seqs[s].frames[t][0])
+                              for s in range(S)])
+            im2s = jnp.stack([jnp.asarray(seqs[s].frames[t][1])
+                              for s in range(S)])
+            ks = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(s), t)
+                            for s in range(S)])
+            states, out = step(calib4, Fs, states, im1s, im2s, ks)
+            outs.append(out)
+        return outs
+
+    for o_sh, o_pl in zip(drive(sharded), drive(plain)):
+        np.testing.assert_array_equal(np.asarray(o_sh.ok),
+                                      np.asarray(o_pl.ok))
+        np.testing.assert_array_equal(np.asarray(o_sh.num_inliers),
+                                      np.asarray(o_pl.num_inliers))
+        np.testing.assert_allclose(np.asarray(o_sh.tr),
+                                   np.asarray(o_pl.tr), rtol=0, atol=5e-6)

@@ -177,6 +177,50 @@ def world_cfg():
 
 
 @pytest.mark.slow
+def test_world_loop_closure_removes_drift(world_cfg):
+    """Closed-circuit plaza drive on photograph-like frames: VO drifts,
+    the revisit is detected against dense-texture keyframes, false
+    candidates are rejected by geometric verification, and the
+    pose-graph closes the loop.
+
+    Calibrated run (seed 5): open-chain end error 1.84 m; the true
+    revisit (frame 40 vs keyframe 0) scores 219 matches / 204 seed
+    inliers while every alias candidate (scores 30-38, the dense-texture
+    aliasing floor) dies in verification; optimized end error 0.007 m."""
+    import dataclasses
+
+    from libviso_tpu.pipeline.loop import run_with_loop_closure
+    from libviso_tpu.synthetic_world import generate_plaza_sequence
+
+    cfg = dataclasses.replace(
+        world_cfg, detector=dataclasses.replace(
+            world_cfg.detector, max_features=240, nbinx=8, nbiny=3,
+            num_slots=256))
+    # num_frames=41: frame 40 returns exactly to frame 0's pose AND
+    # lands on the keyframe_every=4 grid, so the revisit check runs at
+    # the true closure
+    seq = generate_plaza_sequence(num_frames=41, seed=5, width=416,
+                                  height=160, radius=10.0,
+                                  plaza_radius=18.0, px_per_m=30.0)
+    res = run_with_loop_closure(list(seq.frames), seq.P1, seq.P2,
+                                cfg=cfg, keyframe_every=4, min_gap=20,
+                                min_matches=30, min_inliers=15, seed=0)
+    assert res.frame_ok[1:].all()
+    assert len(res.loops) >= 1
+    # every ACCEPTED edge is a true revisit (GT camera centers nearby);
+    # the aliasing-floor candidates must all have been rejected
+    for le in res.loops:
+        d = np.linalg.norm(seq.gt_poses[le.frame_new][:3, 3]
+                           - seq.gt_poses[le.frame_old][:3, 3])
+        assert d < 2.0, (le.frame_old, le.frame_new, d)
+    gt_t = seq.gt_poses[:, :3, 3]
+    err_vo = np.linalg.norm(res.poses_vo[:, :3, 3] - gt_t, axis=1)
+    err_opt = np.linalg.norm(res.poses[:, :3, 3] - gt_t, axis=1)
+    assert err_vo[-1] > 0.5           # the circuit genuinely drifts
+    assert err_opt[-1] < 0.1 * err_vo[-1]   # and the loop removes it
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", list(REGIMES))
 def test_world_vo_within_bounds(name, world_cfg):
     from libviso_tpu.pipeline.stereo import run_stereo_sequence
