@@ -305,7 +305,18 @@ def _cmd_synth(args):
     from libviso_tpu.synthetic import generate_sequence
     from libviso_tpu.utils.metrics import ate_rmse, rpe_errors
 
-    seq = generate_sequence(num_frames=args.frames, seed=args.seed)
+    if getattr(args, "world_loop", False):
+        from libviso_tpu.synthetic_world import generate_plaza_sequence
+
+        seq = generate_plaza_sequence(num_frames=args.frames,
+                                      seed=args.seed)
+    elif getattr(args, "world", False):
+        from libviso_tpu.synthetic_world import generate_world_sequence
+
+        seq = generate_world_sequence(num_frames=args.frames,
+                                      seed=args.seed)
+    else:
+        seq = generate_sequence(num_frames=args.frames, seed=args.seed)
     cfg = _apply_cfg_flags(PipelineConfig(), args)
     t0 = time.perf_counter()
     res = run_stereo_sequence(seq.frames, seq.P1, seq.P2, cfg,
@@ -320,6 +331,87 @@ def _cmd_synth(args):
         "rpe_trans_mean_m": float(terr.mean()),
         "rpe_rot_mean_rad": float(rerr.mean()),
         "fps": args.frames / dt,
+    }))
+
+
+def _cmd_serve(args):
+    """Multi-sequence serving: S KITTI sequences in lockstep on one chip.
+
+    The reference runs one sequence per process (src/kitti.cpp:79-118);
+    this driver advances S sequences per device dispatch via the vmapped
+    multi-stream step (pipeline/multistream.py, docs/performance.md
+    "Multi-stream serving") — per-stream results match solo runs (same
+    per-frame fold_in keys; discrete decisions exact, motions within f32
+    float noise).  Sequences must share one image shape (true for all
+    KITTI odometry sequences of a recording platform); frames are staged
+    in memory.
+    """
+    from libviso_tpu.config import PipelineConfig
+    from libviso_tpu.io.kitti import (
+        StereoImageStream,
+        kitti_sequence_paths,
+        load_calib,
+        save_poses_kitti,
+    )
+    from libviso_tpu.pipeline.multistream import run_multistream
+    from libviso_tpu.utils.metrics import MetricsLogger
+
+    kitti_home = args.kitti_home or os.environ.get("KITTI_HOME")
+    if not kitti_home:
+        sys.exit("KITTI_HOME not set (flag --kitti-home or env)")
+    seq_names = args.seqs.split(",")
+    if len(seq_names) < 2:
+        sys.exit("serve wants >=2 sequences (use `kitti` for one)")
+
+    frames_l, P1s, P2s = [], [], []
+    for name in seq_names:
+        paths = kitti_sequence_paths(kitti_home, name)
+        P1, P2 = load_calib(paths["calib"])
+        stream = StereoImageStream(
+            os.path.join(paths["image_0"], "%06d.png"),
+            os.path.join(paths["image_1"], "%06d.png"),
+            begin=args.begin, end=args.end)
+        frames_l.append(list(stream))
+        P1s.append(P1)
+        P2s.append(P2)
+    shapes = {f[0][0].shape for f in frames_l}
+    if len(shapes) != 1:
+        sys.exit(f"sequences must share one image shape, got {shapes}")
+
+    cfg = _apply_cfg_flags(PipelineConfig(), args)
+    t0 = time.perf_counter()
+    results = run_multistream(frames_l, P1s, P2s, cfg,
+                              seeds=[args.seed + s
+                                     for s in range(len(seq_names))],
+                              backend=args.backend)
+    dt = time.perf_counter() - t0
+
+    out = []
+    total = 0
+    for name, res in zip(seq_names, results):
+        result_dir = os.path.join(kitti_home, "results", name,
+                                  args.result_sha)
+        os.makedirs(result_dir, exist_ok=True)
+        with MetricsLogger(os.path.join(result_dir,
+                                        "metrics.jsonl")) as ml:
+            for s in res.stats:
+                ml.log(s)
+        poses_path = os.path.join(result_dir, "data", f"{name}.txt")
+        save_poses_kitti(poses_path, res.poses)
+        total += len(res.poses)
+        inls = [s["num_inliers"] for s in res.stats[1:]]
+        out.append({
+            "sequence": name, "frames": len(res.poses),
+            "solved": int(res.frame_ok.sum()), "poses": poses_path,
+            "health": {
+                "failed_frames": int((~res.frame_ok[1:]).sum()),
+                "inliers_mean": (round(float(np.mean(inls)), 1)
+                                 if inls else None),
+            }})
+    print(json.dumps({
+        "streams": len(seq_names),
+        "aggregate_fps": total / dt if dt > 0 else None,
+        "sequences": out,
     }))
 
 
@@ -503,8 +595,34 @@ def main(argv=None):
     s.add_argument("--frames", type=int, default=20)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    s.add_argument("--world", action="store_true",
+                   help="drive the textured-world renderer instead of "
+                        "the sprite oracle: dense perspective-correct "
+                        "street frames (docs/realism.md 'Textured-world "
+                        "renderer'; slower to render, photograph-like)")
+    s.add_argument("--world-loop", action="store_true",
+                   help="closed-circuit plaza drive through the world "
+                        "renderer (the loop-closure oracle)")
     _add_cfg_flags(s)
     s.set_defaults(fn=_cmd_synth)
+
+    sv = sub.add_parser(
+        "serve", help="multi-sequence serving: S KITTI sequences in "
+                      "lockstep per device dispatch "
+                      "(pipeline/multistream.py)")
+    sv.add_argument("result_sha", help="results subdirectory name")
+    sv.add_argument("seqs", help="comma-separated sequence names, "
+                                 "e.g. 00,01,02 (>=2; one shared image "
+                                 "shape)")
+    sv.add_argument("--kitti-home", default=None,
+                    help="dataset root (default $KITTI_HOME)")
+    sv.add_argument("--begin", type=int, default=0)
+    sv.add_argument("--end", type=int, default=None)
+    sv.add_argument("--seed", type=int, default=0,
+                    help="stream s uses seed+s (matches its solo run)")
+    sv.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    _add_cfg_flags(sv)
+    sv.set_defaults(fn=_cmd_serve)
 
     m = sub.add_parser("mono", help="monocular SfM (calib_sfm.cpp analog)")
     m.add_argument("--image-mask", default=None,

@@ -141,3 +141,81 @@ def test_cfg_flags_sharpen_options():
     args = p.parse_args(["--sharpen", "0", "--sharpen-auto"])
     with pytest.raises(ValueError, match="sharpen_auto"):
         cli._apply_cfg_flags(PipelineConfig(), args)
+
+
+def test_serve_rejects_single_sequence(tmp_path, monkeypatch):
+    """`serve` is the >=2-stream mode; one sequence must point at `kitti`."""
+    monkeypatch.setenv("KITTI_HOME", str(tmp_path))
+    with pytest.raises(SystemExit, match=">=2"):
+        cli.main(["serve", "sha", "00"])
+
+
+def test_serve_requires_kitti_home(monkeypatch):
+    monkeypatch.delenv("KITTI_HOME", raising=False)
+    with pytest.raises(SystemExit, match="KITTI_HOME"):
+        cli.main(["serve", "sha", "00,01"])
+
+
+def test_serve_rejects_mixed_shapes(tmp_path, monkeypatch):
+    """Streams share one compiled program: mixed image shapes exit at the
+    argv edge, before any compile."""
+    import os
+
+    from PIL import Image
+
+    for name, (w, h) in (("aa", (64, 32)), ("bb", (80, 40))):
+        base = tmp_path / "sequences" / name
+        (base / "image_0").mkdir(parents=True)
+        (base / "image_1").mkdir(parents=True)
+        P = f"{100.0:.9e} 0 {w/2:.9e} 0 0 {100.0:.9e} {h/2:.9e} 0 0 0 1 0"
+        (base / "calib.txt").write_text(f"P0: {P}\nP1: {P}\n")
+        im = Image.fromarray(np.zeros((h, w), np.uint8))
+        for k in range(2):
+            im.save(base / "image_0" / f"{k:06d}.png")
+            im.save(base / "image_1" / f"{k:06d}.png")
+    monkeypatch.setenv("KITTI_HOME", str(tmp_path))
+    with pytest.raises(SystemExit, match="share one image shape"):
+        cli.main(["serve", "sha", "aa,bb"])
+
+
+def test_synth_world_flag_selects_world_generator(monkeypatch, capsys):
+    """--world / --world-loop pick the textured-world generators (the
+    pipeline itself is stubbed: generator selection is what's under
+    test)."""
+    import libviso_tpu.pipeline as pl
+    import libviso_tpu.synthetic_world as sw
+
+    calls = []
+
+    def fake_world(num_frames, seed, **kw):
+        calls.append(("world", num_frames))
+        from libviso_tpu.synthetic import generate_sequence
+
+        return generate_sequence(num_frames=num_frames, num_points=20,
+                                 width=64, height=32, seed=seed)
+
+    def fake_plaza(num_frames, seed, **kw):
+        calls.append(("plaza", num_frames))
+        from libviso_tpu.synthetic import generate_sequence
+
+        return generate_sequence(num_frames=num_frames, num_points=20,
+                                 width=64, height=32, seed=seed)
+
+    class _Res:
+        def __init__(self, T):
+            self.poses = np.tile(np.eye(4), (T, 1, 1))
+            self.frame_ok = np.ones(T, bool)
+
+    def fake_run(frames, P1, P2, cfg, **kw):
+        return _Res(len(frames))
+
+    monkeypatch.setattr(sw, "generate_world_sequence", fake_world)
+    monkeypatch.setattr(sw, "generate_plaza_sequence", fake_plaza)
+    monkeypatch.setattr(pl, "run_stereo_sequence", fake_run)
+
+    cli.main(["synth", "--frames", "3", "--world"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["frames"] == 3
+    cli.main(["synth", "--frames", "4", "--world-loop"])
+    json.loads(capsys.readouterr().out)
+    assert calls == [("world", 3), ("plaza", 4)]
