@@ -9,6 +9,11 @@ Runs end-to-end on the synthetic renderer in ~a minute on CPU:
 """
 
 import os
+import sys
+
+# script-mode `python examples/library_api.py` puts examples/ on
+# sys.path, not the repo root — add it so the documented invocation works
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -56,6 +61,31 @@ mres = run_mono_sequence([l for l, _ in seq.frames], K,
                          cfg=PipelineConfig.mono(), seed=0)
 print(f"mono: solved {int(mres.frame_ok.sum())}/{len(mres.poses) - 1} "
       f"(trajectory up to one global scale)")
+
+# --- multi-stream serving (beyond-reference): S sequences advanced per
+# device dispatch; per-stream results match solo runs (discrete
+# decisions exactly, motions to f32 float noise).
+from libviso_tpu.pipeline.multistream import run_multistream
+
+seq_b = generate_sequence(num_frames=len(seq.frames), num_points=300,
+                          width=seq.frames[0][0].shape[1],
+                          height=seq.frames[0][0].shape[0], seed=9)
+multi = run_multistream([seq.frames, seq_b.frames],
+                        [seq.P1, seq_b.P1], [seq.P2, seq_b.P2], cfg,
+                        seeds=[0, 1])
+print(f"serving: {len(multi)} streams, solved "
+      f"{[int(r.frame_ok.sum()) for r in multi]}")
+
+# --- photograph-like oracle (docs/realism.md "Textured-world
+# renderer"): dense ray-cast street frames, same SyntheticSequence
+# contract — drop-in for any driver above.
+from libviso_tpu.synthetic_world import generate_world_sequence
+
+wseq = generate_world_sequence(num_frames=4, seed=0, width=320,
+                               height=128)
+wres2 = run_stereo_sequence(wseq.frames, wseq.P1, wseq.P2, cfg, seed=0)
+print(f"world: solved {int(wres2.frame_ok.sum())}/{len(wres2.poses) - 1}, "
+      f"ATE {ate_rmse(wres2.poses, wseq.gt_poses):.4f} m")
 
 assert ate_rmse(res.poses, seq.gt_poses) < 0.1
 print("ok")
