@@ -379,11 +379,24 @@ def _cmd_serve(args):
         sys.exit(f"sequences must share one image shape, got {shapes}")
 
     cfg = _apply_cfg_flags(PipelineConfig(), args)
+    ckpt = None
+    if args.checkpoint_every > 0:
+        from libviso_tpu.utils.checkpoint import CheckpointManager
+
+        # one snapshot carries ALL streams; keyed by the result sha under
+        # a shared _serve dir (per-sequence result dirs hold poses only)
+        ckpt = CheckpointManager(
+            os.path.join(kitti_home, "results", "_serve",
+                         args.result_sha, "checkpoints"),
+            every=args.checkpoint_every)
     t0 = time.perf_counter()
     results = run_multistream(frames_l, P1s, P2s, cfg,
                               seeds=[args.seed + s
                                      for s in range(len(seq_names))],
-                              backend=args.backend)
+                              backend=args.backend, checkpoint=ckpt,
+                              fingerprint_scope=(f"{args.seqs}:"
+                                                 f"{args.begin}:"
+                                                 f"{args.end}"))
     dt = time.perf_counter() - t0
 
     out = []
@@ -398,7 +411,9 @@ def _cmd_serve(args):
                 ml.log(s)
         poses_path = os.path.join(result_dir, "data", f"{name}.txt")
         save_poses_kitti(poses_path, res.poses)
-        total += len(res.poses)
+        # fps over frames computed THIS run (resume must not claim the
+        # restored frames' throughput)
+        total += getattr(res, "processed", len(res.poses))
         inls = [s["num_inliers"] for s in res.stats[1:]]
         out.append({
             "sequence": name, "frames": len(res.poses),
@@ -620,6 +635,11 @@ def main(argv=None):
     sv.add_argument("--end", type=int, default=None)
     sv.add_argument("--seed", type=int, default=0,
                     help="stream s uses seed+s (matches its solo run)")
+    sv.add_argument("--checkpoint-every", type=int, default=0,
+                    metavar="N",
+                    help="snapshot the full S-stream state every N "
+                         "lockstep timesteps (one checkpoint carries all "
+                         "streams; resume is bit-exact)")
     sv.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     _add_cfg_flags(sv)
     sv.set_defaults(fn=_cmd_serve)

@@ -153,7 +153,9 @@ def _jitted_multistream(cfg: PipelineConfig, backend: str):
 def run_multistream(sequences: Sequence, P1s, P2s,
                     cfg: PipelineConfig = PipelineConfig(),
                     seeds: Sequence[int] | None = None,
-                    backend: str = "xla") -> List[SequenceResult]:
+                    backend: str = "xla",
+                    checkpoint=None,
+                    fingerprint_scope: str = "") -> List[SequenceResult]:
     """Drive S sequences in lockstep through the vmapped step.
 
     Args:
@@ -167,6 +169,15 @@ def run_multistream(sequences: Sequence, P1s, P2s,
         fold_in(PRNGKey(seed_s), t) — the same per-frame key contract as
         `run_stereo_sequence`, which is what makes stream outputs
         bit-identical to solo runs.
+      checkpoint: optional utils.checkpoint.CheckpointManager — the same
+        resume discipline as run_stereo_sequence, with the full S-stream
+        state (stacked FrameState pytree + per-timestep motions/oks/stats
+        for every stream) in one snapshot; `every` counts lockstep
+        timesteps.  Per-frame keys are absolute-t fold_ins, so a resumed
+        serving run is bit-exact (tested).
+      fingerprint_scope: input-slice identifier; stream count and seeds
+        join it automatically (a resume with a different stream set must
+        fail loudly, not misalign).
 
     Returns:
       One SequenceResult per stream (poses/motions/frame_ok/stats),
@@ -192,8 +203,71 @@ def run_multistream(sequences: Sequence, P1s, P2s,
     keys = [jax.random.PRNGKey(s) for s in seeds]
 
     states = stack_states([empty_state(cfg) for _ in range(S)])
+    motions_l: list = []   # per timestep: (S, 6)
+    oks_l: list = []       # per timestep: (S,) bool
+    stats_l: list = []     # per timestep: [S dicts]
+    t0 = 0
+    fingerprint = None
+    if checkpoint is not None:
+        from libviso_tpu.utils.checkpoint import config_fingerprint
+
+        # S + seeds identify the stream set; lengths stay OUT of the
+        # fingerprint so the standard interrupted-run pattern (resume
+        # with the full frame lists after a truncated crash run) works —
+        # same semantics as run_stereo_sequence, whose scope also
+        # excludes sequence length
+        fingerprint = config_fingerprint(
+            cfg, int(seeds[0]), backend,
+            scope=(f"multistream:S={S}:seeds={list(map(int, seeds))}:"
+                   f"{fingerprint_scope}"))
+        ck = checkpoint.latest()
+        if ck is not None:
+            if ck.fingerprint != fingerprint:
+                raise ValueError(
+                    "checkpoint fingerprint mismatch: written with a "
+                    f"different stream set / cfg ({ck.fingerprint} != "
+                    f"{fingerprint})")
+            treedef = jax.tree_util.tree_structure(states)
+            states = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in ck.state_leaves])
+            motions_l = [m for m in ck.motions]
+            oks_l = [np.asarray(o, bool) for o in ck.oks]
+            stats_l = list(ck.stats)
+            t0 = ck.next_frame
+
     pending = []  # (t, FrameOutput batched over S) device futures
-    for t in range(T):
+
+    def _flush():
+        for t, out in pending:
+            motions_l.append(np.asarray(out.tr))
+            oks_l.append(np.array([bool(out.ok[s]) and t != 0
+                                   for s in range(S)]))
+            stats_l.append([{
+                "frame": t,
+                "ok": bool(oks_l[-1][s]),
+                "num_kp1": int(out.num_kp1[s]),
+                "num_lr": int(out.num_lr[s]),
+                "num_circle": int(out.num_circle[s]),
+                "num_inliers": int(out.num_inliers[s]),
+                "reproj_rms": float(out.rms[s]),
+                "sharpness": float(out.sharpness[s]),
+            } for s in range(S)])
+        pending.clear()
+
+    def _snapshot(next_frame):
+        from libviso_tpu.utils.checkpoint import Checkpoint
+
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(states)]
+        checkpoint.save(Checkpoint(
+            next_frame=next_frame,
+            motions=(np.stack(motions_l) if motions_l
+                     else np.zeros((0, S, 6))),
+            oks=(np.stack(oks_l) if oks_l
+                 else np.zeros((0, S), bool)),
+            state_leaves=leaves, stats=stats_l,
+            fingerprint=fingerprint))
+
+    for t in range(t0, T):
         im1s = jnp.stack([jnp.asarray(sequences[s][min(t, lengths[s] - 1)][0])
                           for s in range(S)])
         im2s = jnp.stack([jnp.asarray(sequences[s][min(t, lengths[s] - 1)][1])
@@ -201,31 +275,24 @@ def run_multistream(sequences: Sequence, P1s, P2s,
         kt = jnp.stack([jax.random.fold_in(keys[s], t) for s in range(S)])
         states, out = step(calib4, Fs, states, im1s, im2s, kt)
         pending.append((t, out))
+        if checkpoint is not None and (t + 1) % checkpoint.every == 0:
+            # materializing here syncs the device — only at snapshots,
+            # never per frame (async-dispatch discipline)
+            _flush()
+            _snapshot(t + 1)
 
-    # materialize once at the end (host syncs per frame would serialize
-    # the async dispatch pipeline — same discipline as run_stereo_sequence)
+    _flush()
     results = []
     for s in range(S):
         Ts = lengths[s]
-        motions = np.stack([np.asarray(out.tr[s])
-                            for t, out in pending[:Ts]])
-        oks = np.array([bool(out.ok[s]) and t != 0
-                        for t, out in pending[:Ts]])
-        stats = [{
-            "frame": t,
-            "ok": bool(oks[t]),
-            "num_kp1": int(out.num_kp1[s]),
-            "num_lr": int(out.num_lr[s]),
-            "num_circle": int(out.num_circle[s]),
-            "num_inliers": int(out.num_inliers[s]),
-            "reproj_rms": float(out.rms[s]),
-            "sharpness": float(out.sharpness[s]),
-        } for t, out in pending[:Ts]]
+        motions = np.stack([m[s] for m in motions_l[:Ts]])
+        oks = np.array([o[s] for o in oks_l[:Ts]])
+        stats = [stats_l[t][s] for t in range(Ts)]
         from libviso_tpu.geometry.se3 import pose_vector_to_matrix
 
         Tr = pose_vector_to_matrix(jnp.asarray(motions))
         poses = np.asarray(chain_motions(Tr, jnp.asarray(oks)))
         results.append(SequenceResult(poses=poses, motions=motions,
                                       frame_ok=oks, stats=stats,
-                                      processed=Ts))
+                                      processed=max(0, Ts - t0)))
     return results

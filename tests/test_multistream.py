@@ -124,6 +124,42 @@ def test_multistream_chunk_matches_per_frame(tiny_cfg):
                                    rtol=0, atol=5e-6)
 
 
+def test_multistream_checkpoint_resume_bit_exact(tiny_cfg, tmp_path):
+    """Serving resume: a crash-truncated multistream run + resume with
+    the full frame lists reproduces the uninterrupted run bit-exactly
+    (per-frame keys are absolute-t fold_ins; the snapshot carries the
+    full S-stream state).  Unequal lengths exercise idle-frame replay."""
+    from libviso_tpu.utils.checkpoint import CheckpointManager
+
+    seq_a = generate_sequence(num_frames=6, num_points=300, width=160,
+                              height=96, f=120.0, seed=3)
+    seq_b = generate_sequence(num_frames=5, num_points=260, width=160,
+                              height=96, f=140.0, seed=11, speed=0.6)
+    seqs = [seq_a.frames, seq_b.frames]
+    P1s, P2s = [seq_a.P1, seq_b.P1], [seq_a.P2, seq_b.P2]
+
+    full = run_multistream(seqs, P1s, P2s, tiny_cfg, seeds=[0, 1])
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=2)
+    run_multistream([s[:4] for s in seqs], P1s, P2s, tiny_cfg,
+                    seeds=[0, 1], checkpoint=mgr)
+    assert mgr.latest().next_frame == 4
+
+    resumed = run_multistream(seqs, P1s, P2s, tiny_cfg, seeds=[0, 1],
+                              checkpoint=mgr)
+    for got, ref in zip(resumed, full):
+        np.testing.assert_array_equal(got.motions, ref.motions)
+        np.testing.assert_array_equal(got.frame_ok, ref.frame_ok)
+        np.testing.assert_allclose(got.poses, ref.poses, rtol=0, atol=0)
+        assert got.stats == ref.stats
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fingerprint"):
+        run_multistream(seqs, P1s, P2s, tiny_cfg, seeds=[0, 2],
+                        checkpoint=mgr)
+
+
 def test_multistream_sharded_over_mesh_matches_unsharded(tiny_cfg):
     """Serving scale-out: the stream axis sharded over the 8-device CPU
     mesh (jit_multistream_sharded) must reproduce the single-device
