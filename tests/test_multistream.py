@@ -124,6 +124,37 @@ def test_multistream_chunk_matches_per_frame(tiny_cfg):
                                    rtol=0, atol=5e-6)
 
 
+def test_multistream_dropout_recovery_composes(tiny_cfg):
+    """cfg-level dropout recovery (keep_features_on_failure) rides the
+    vmapped step unchanged: a stream with a black frame recovers exactly
+    like its solo run, and the healthy stream is unaffected."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, keep_features_on_failure=True)
+    seq_a = generate_sequence(num_frames=6, num_points=300, width=160,
+                              height=96, f=120.0, seed=3)
+    frames_a = list(seq_a.frames)
+    black = np.zeros_like(frames_a[3][0])
+    frames_a[3] = (black, black)                  # mid-sequence dropout
+    seq_b = generate_sequence(num_frames=6, num_points=260, width=160,
+                              height=96, f=140.0, seed=11, speed=0.6)
+
+    solo_a = run_stereo_sequence(frames_a, seq_a.P1, seq_a.P2, cfg,
+                                 seed=0)
+    solo_b = run_stereo_sequence(seq_b.frames, seq_b.P1, seq_b.P2, cfg,
+                                 seed=1)
+    assert not solo_a.frame_ok[3]                 # the dropout registered
+    assert solo_a.frame_ok[4]                     # and the next frame
+    #                                               recovered the span
+    multi = run_multistream([frames_a, list(seq_b.frames)],
+                            [seq_a.P1, seq_b.P1], [seq_a.P2, seq_b.P2],
+                            cfg, seeds=[0, 1])
+    for solo, got in ((solo_a, multi[0]), (solo_b, multi[1])):
+        np.testing.assert_array_equal(got.frame_ok, solo.frame_ok)
+        np.testing.assert_allclose(got.motions, solo.motions,
+                                   rtol=0, atol=5e-6)
+
+
 def test_multistream_checkpoint_resume_bit_exact(tiny_cfg, tmp_path):
     """Serving resume: a crash-truncated multistream run + resume with
     the full frame lists reproduces the uninterrupted run bit-exactly
