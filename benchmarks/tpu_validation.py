@@ -29,12 +29,16 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(extra, reps, timeout=900):
+def run_bench(extra, reps, timeout=1800):
+    # 1800 s: the tunnel's remote-compile service has slow phases where
+    # one compile alone exceeds the 900 s that normally suffices (two
+    # modes timed out in the round-3 sweep and re-ran fine)
     cmd = [sys.executable, os.path.join(_REPO, "bench.py"),
            f"--reps={reps}"] + extra
+    env = dict(os.environ, BENCH_TIMEOUT_S=str(timeout - 60))
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout, cwd=_REPO)
+                              timeout=timeout, cwd=_REPO, env=env)
     except subprocess.TimeoutExpired:
         return {"error": "timeout"}
     line = proc.stdout.strip().splitlines()
