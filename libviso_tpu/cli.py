@@ -359,6 +359,14 @@ def _cmd_serve(args):
     kitti_home = args.kitti_home or os.environ.get("KITTI_HOME")
     if not kitti_home:
         sys.exit("KITTI_HOME not set (flag --kitti-home or env)")
+    if getattr(args, "chunk", 1) > 1:
+        # run_multistream dispatches per lockstep timestep; the chunked
+        # serving composition exists (pipeline/multistream.py::
+        # build_multistream_chunk, bench.py --streams --chunk) but is
+        # not wired into this driver — reject rather than ignore
+        sys.exit("serve does not take --chunk (streams already amortize "
+                 "dispatch; see bench.py --streams --chunk for the "
+                 "measured combined mode)")
     seq_names = args.seqs.split(",")
     if len(seq_names) < 2:
         sys.exit("serve wants >=2 sequences (use `kitti` for one)")

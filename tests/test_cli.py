@@ -219,3 +219,11 @@ def test_synth_world_flag_selects_world_generator(monkeypatch, capsys):
     cli.main(["synth", "--frames", "4", "--world-loop"])
     json.loads(capsys.readouterr().out)
     assert calls == [("world", 3), ("plaza", 4)]
+
+
+def test_serve_rejects_chunk(tmp_path, monkeypatch):
+    """serve dispatches per lockstep timestep; --chunk is rejected
+    explicitly rather than silently ignored."""
+    monkeypatch.setenv("KITTI_HOME", str(tmp_path))
+    with pytest.raises(SystemExit, match="chunk"):
+        cli.main(["serve", "sha", "00,01", "--chunk", "4"])
