@@ -181,7 +181,7 @@ def gn_cost_model(num_hypotheses: int, gn_iters: int, n_points: int
 def profile_matcher(n1: int = 1280, n2: int = 1280, d: int = 128,
                     metric: str = "l1", backend: str = "xla",
                     reps: int = 20, seed: int = 0,
-                    chain: int = 16) -> KernelStats:
+                    chain: int | None = None) -> KernelStats:
     """Time the descriptor-distance kernel at KITTI-scale shapes.
 
     `chain` iterations run inside ONE jit via lax.scan (each feeding a
@@ -189,17 +189,32 @@ def profile_matcher(n1: int = 1280, n2: int = 1280, d: int = 128,
     elide them) — per-dispatch RPC latency, which dominates on tunneled
     chips, amortizes away and the per-iteration time approaches true
     kernel time.
+
+    The chain must satisfy ``chain x per-iteration >> RTT`` (~24 ms on
+    this tunnel) or the reported time is the DISPATCH FLOOR, not the
+    kernel: the round-3 session measured the l2 matmul kernel at
+    "1.7 ms" with chain=16 (= 24 ms / 16 exactly) vs its true 0.03 ms
+    at chain=1024.  Default: 256 for the ~0.5 ms L1 kernel, 4096 for
+    the ~30 us MXU metrics.
     """
+    if chain is None:
+        chain = 256 if metric == "l1" else 4096
     import jax.numpy as jnp
     from jax import lax
 
     from libviso_tpu.ops.matching import descriptor_distances
 
     rng = np.random.default_rng(seed)
-    d1 = jnp.asarray(rng.standard_normal((n1, d)), jnp.float32)
+    base = rng.standard_normal((n1, d)).astype(np.float32)
+    # pre-staged DISTINCT query buffers per rep: the perturbation must
+    # flow through the LARGE argument (rule #1/#2 in the module header —
+    # a scalar-arg `a + i*1e-9` rounds to bitwise `a` at O(1) data and
+    # the transport serves a cache hit: measured "9.8 PFLOP/s" before
+    # this fix)
+    d1s = [jnp.asarray(base * (1.0 + 0.001 * k)) for k in range(reps + 4)]
     d2 = jnp.asarray(rng.standard_normal((n2, d)), jnp.float32)
 
-    def fn(c0, a, b):
+    def fn(a, b):
         def body(carry, _):
             dist = descriptor_distances(a + carry, b, metric=metric,
                                         backend=backend)
@@ -207,21 +222,21 @@ def profile_matcher(n1: int = 1280, n2: int = 1280, d: int = 128,
             # compute a single row) and non-simplifiable (|.| / sqrt
             # block algebraic loop hoisting)
             return jnp.sum(dist) * 1e-20, None
-        return lax.scan(body, c0, None, length=chain)[0]
+        return lax.scan(body, jnp.float32(0), None, length=chain)[0]
 
     fn = jax.jit(fn)
     flops, nbytes = match_cost_model(n1, n2, d, metric=metric)
     st = profile_kernel(f"match_dist[{metric}/{backend}] "
                         f"{n1}x{n2}x{d}", fn, (),
                         flops * chain, nbytes * chain, reps=reps,
-                        make_args=lambda i: (jnp.float32(i) * 1e-9, d1, d2))
+                        make_args=lambda i: (d1s[i % len(d1s)], d2))
     st = _per_iteration(st, chain)
     return st
 
 
 def profile_solver(num_hypotheses: int = 64, gn_iters: int = 20,
                    n_points: int = 1280, reps: int = 20,
-                   seed: int = 0, chain: int = 8) -> KernelStats:
+                   seed: int = 0, chain: int = 64) -> KernelStats:
     """Time the vmapped RANSAC+GN pose solver at KITTI-scale shapes.
 
     Chained like profile_matcher so per-dispatch latency amortizes.
@@ -237,29 +252,32 @@ def profile_solver(num_hypotheses: int = 64, gn_iters: int = 20,
     calib = Calib.from_projections(P1, P2)
     cfg = RansacConfig(num_hypotheses=num_hypotheses, gn_iters=gn_iters)
     rng = np.random.default_rng(seed)
-    X = jnp.asarray(rng.uniform(-10, 10, (n_points, 3)), jnp.float32)
+    Xb = rng.uniform(-10, 10, (n_points, 3)).astype(np.float32)
     obs = jnp.asarray(rng.uniform(0, 300, (n_points, 4)), jnp.float32)
     valid = jnp.ones((n_points,), bool)
     key = jax.random.PRNGKey(seed)
+    # distinct large buffers per rep (see profile_matcher: scalar-level
+    # perturbations round away in f32 and the transport memoizes)
+    Xs = [jnp.asarray(Xb * (1.0 + 0.001 * k)) for k in range(reps + 4)]
 
-    def fn(c0, x, o):
+    def fn(x, o):
         def body(carry, i):
             est = ransac_pose(jax.random.fold_in(key, i), x + carry, o,
                               valid, calib, cfg)
             return jnp.sum(est.tr) * 1e-20, None
-        return lax.scan(body, c0, jnp.arange(chain))[0]
+        return lax.scan(body, jnp.float32(0), jnp.arange(chain))[0]
 
     fn = jax.jit(fn)
     flops, nbytes = gn_cost_model(num_hypotheses, gn_iters, n_points)
     st = profile_kernel(
         f"ransac_gn K={num_hypotheses} iters={gn_iters} N={n_points}",
         fn, (), flops * chain, nbytes * chain, reps=reps,
-        make_args=lambda i: (jnp.float32(i) * 1e-9, X, obs))
+        make_args=lambda i: (Xs[i % len(Xs)], obs))
     st = _per_iteration(st, chain)
     return st
 
 
-def profile_frame_step(cfg=None, reps: int = 5, chain: int = 32,
+def profile_frame_step(cfg=None, reps: int = 5, chain: int = 128,
                        seed: int = 0) -> KernelStats:
     """Chained timing of the FULL stereo frame step (detect through RANSAC).
 
@@ -280,12 +298,18 @@ def profile_frame_step(cfg=None, reps: int = 5, chain: int = 32,
                             base=0.5371657, speed=0.8)
     calib = Calib.from_projections(seq.P1, seq.P2)
     F = jnp.asarray(F_from_P_host(seq.P1, seq.P2))
-    frames = jnp.asarray(np.stack(
-        [np.stack([f[0], f[1]]) for f in seq.frames]).astype(np.float32))
+    frames_np = np.stack(
+        [np.stack([f[0], f[1]]) for f in seq.frames]).astype(np.float32)
+    # distinct pre-staged frame stacks per rep (see profile_matcher: the
+    # perturbation must flow through a LARGE argument buffer or the
+    # transport can serve cache hits); intensity scaling preserves the
+    # corner set so every chained step does representative work
+    stacks = [jnp.asarray(frames_np * (1.0 + 0.002 * k))
+              for k in range(reps + 4)]
     key = jax.random.PRNGKey(seed)
     step = build_frame_step(calib, F, cfg)
 
-    def fn(c0):
+    def fn(frames):
         st0 = empty_state(cfg)
 
         def body(carry, i):
@@ -295,7 +319,8 @@ def profile_frame_step(cfg=None, reps: int = 5, chain: int = 32,
                            jax.random.fold_in(key, i))
             return (st, jnp.sum(out.tr) * 1e-9), None
 
-        (_, c), _ = jax.lax.scan(body, (st0, c0), jnp.arange(chain))
+        (_, c), _ = jax.lax.scan(body, (st0, jnp.float32(0)),
+                                 jnp.arange(chain))
         return c
 
     n = cfg.detector.num_slots
@@ -306,7 +331,7 @@ def profile_frame_step(cfg=None, reps: int = 5, chain: int = 32,
     st = profile_kernel(
         "frame_step", jax.jit(fn), (), (3 * mf + gf) * chain,
         (3 * mb + gb) * chain, reps=reps,
-        make_args=lambda i: (jnp.float32(i) * 1e-3,))
+        make_args=lambda i: (stacks[i % len(stacks)],))
     st = _per_iteration(st, chain)
     return st
 
@@ -328,12 +353,14 @@ def profile_mono_step(cfg=None, method: str = "5pt", reps: int = 5,
                             base=0.5371657, speed=0.8)
     K = np.array([[718.856, 0.0, 607.19], [0.0, 718.856, 185.22],
                   [0.0, 0.0, 1.0]])
-    frames = jnp.asarray(np.stack(
-        [f[0] for f in seq.frames]).astype(np.float32))
+    frames_np = np.stack([f[0] for f in seq.frames]).astype(np.float32)
+    # distinct pre-staged stacks per rep (see profile_matcher)
+    stacks = [jnp.asarray(frames_np * (1.0 + 0.002 * k))
+              for k in range(reps + 4)]
     key = jax.random.PRNGKey(seed)
     step = build_mono_step(K, cfg, method=method)
 
-    def fn(c0):
+    def fn(frames):
         st0 = empty_mono_state(cfg)
 
         def body(carry, i):
@@ -342,7 +369,8 @@ def profile_mono_step(cfg=None, method: str = "5pt", reps: int = 5,
             st, out = step(st, f * (1.0 + c), jax.random.fold_in(key, i))
             return (st, jnp.sum(jnp.abs(out.transform)) * 1e-9), None
 
-        (_, c), _ = jax.lax.scan(body, (st0, c0), jnp.arange(chain))
+        (_, c), _ = jax.lax.scan(body, (st0, jnp.float32(0)),
+                                 jnp.arange(chain))
         return c
 
     n = cfg.detector.num_slots
@@ -350,6 +378,6 @@ def profile_mono_step(cfg=None, method: str = "5pt", reps: int = 5,
     mf, mb = match_cost_model(n, n, d)
     st = profile_kernel(
         f"mono_step[{method}]", jax.jit(fn), (), mf * chain, mb * chain,
-        reps=reps, make_args=lambda i: (jnp.float32(i) * 1e-3,))
+        reps=reps, make_args=lambda i: (stacks[i % len(stacks)],))
     st = _per_iteration(st, chain)
     return st
