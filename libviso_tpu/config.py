@@ -113,10 +113,10 @@ class DetectorConfig:
     nms_radius: int = 0
 
     def __post_init__(self):
-        if self.descriptor_gather not in ("onehot", "take"):
+        if self.descriptor_gather not in ("onehot", "onehot_i8", "take"):
             raise ValueError(
-                f"descriptor_gather must be 'onehot' or 'take', got "
-                f"{self.descriptor_gather!r}")
+                f"descriptor_gather must be 'onehot', 'onehot_i8' or "
+                f"'take', got {self.descriptor_gather!r}")
         if self.sharpen_sigma < 0:
             raise ValueError("sharpen_sigma must be >= 0")
         if self.sharpen_auto and self.sharpen_sigma <= 0:

@@ -59,6 +59,34 @@ def _conv1d(img, kernel, axis):
     return out
 
 
+def _conv1d_multi(stack, kernels, axis):
+    """Correlate a (C, H, W) stack with per-channel same-length 1-D
+    kernels along ``axis`` (1 = rows, 2 = columns), REFLECT_101 border.
+
+    One ``jnp.pad`` materialization serves all C channels (vs one per
+    channel with C separate ``_conv1d`` calls), and the k shifted
+    multiply-adds run with per-channel coefficient vectors — the whole
+    stage fuses into a single VPU pass.  Used by ``harris_response``,
+    whose 10 single-channel conv passes dominated the detector's time.
+    """
+    k = len(kernels[0])
+    r = k // 2
+    pad = [(0, 0), (0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    padded = jnp.pad(stack, pad, mode="reflect")
+    C, H, W = stack.shape
+    out = None
+    for i in range(k):
+        coefs = jnp.asarray([kern[i] for kern in kernels], stack.dtype)
+        if axis == 1:
+            shifted = jax.lax.slice(padded, (0, i, 0), (C, i + H, W))
+        else:
+            shifted = jax.lax.slice(padded, (0, 0, i), (C, H, i + W))
+        term = shifted * coefs[:, None, None]
+        out = term if out is None else out + term
+    return out
+
+
 def _gauss_taps(sigma: float, truncate: float = 4.0):
     """Normalized truncated-Gaussian taps matching
     scipy.ndimage.gaussian_filter's kernel (both unsharp_mask and
@@ -148,14 +176,57 @@ def harris_response(img, block_size=3, aperture=5, k=0.04,
     scale = 1.0 / ((1 << (aperture - 1)) * block_size)
     if input_is_8bit:
         scale /= 255.0
-    dx = sobel_derivatives(img, ksize=aperture, dx=True, scale=scale)
-    dy = sobel_derivatives(img, ksize=aperture, dx=False, scale=scale)
-    sxx = _box_sum(dx * dx, block_size)
-    sxy = _box_sum(dx * dy, block_size)
-    syy = _box_sum(dy * dy, block_size)
+    smooth = _SOBEL_SMOOTH[aperture]
+    deriv = _SOBEL_DERIV[aperture]
+    # Channel-stacked separable stages: ONE padded buffer per stage for
+    # both derivatives (then one for all three structure-tensor sums)
+    # instead of 10 single-channel conv passes — ~2x fewer VPU passes /
+    # materializations.  dy evaluates as deriv_y(smooth_x(img)) rather
+    # than the textbook smooth_x(deriv_y(img)); separable correlation
+    # commutes, so the result differs only at f32 rounding (the cv2
+    # golden tests bound it).
+    s1 = _conv1d_multi(jnp.stack([img, img]), [deriv, smooth], axis=2)
+    d = _conv1d_multi(s1, [smooth, deriv], axis=1)
+    dx = d[0] * jnp.asarray(scale, img.dtype)
+    dy = d[1] * jnp.asarray(scale, img.dtype)
+    prods = jnp.stack([dx * dx, dx * dy, dy * dy])
+    ones = [(1.0,) * block_size] * 3
+    s = _conv1d_multi(_conv1d_multi(prods, ones, 1), ones, 2)
+    sxx, sxy, syy = s[0], s[1], s[2]
     det = sxx * syy - sxy * sxy
     trace = sxx + syy
     return det - k * trace * trace
+
+
+def _topk_iterative(bins, k):
+    """Exact row-wise top-k by k rounds of (argmax, mask) — bit-identical
+    to ``lax.top_k`` (descending values; ties broken by LOWEST index, the
+    rule both ``lax.top_k`` and ``jnp.argmax`` share).
+
+    ``lax.top_k`` lowers to a bitonic partial SORT of each row (~0.3 ms
+    for the detector's (120, 3825) bins on a v5e, measured round 3),
+    paying O(M log^2 M) data movement to order elements the detector
+    throws away; at the detector's default k=10, k linear passes move
+    ~20x less data and fuse into the surrounding response pipeline.
+    Auto-selected by ``detect_harris_binned`` for k <= 16 (the sort
+    wins asymptotically; the cap is conservative).
+    """
+    M = bins.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, bins.shape, bins.ndim - 1)
+    neg_inf = jnp.asarray(-jnp.inf, bins.dtype)
+    vals, idxs = [], []
+    b = bins
+    for _ in range(k):
+        i = jnp.argmax(b, axis=-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(b, i[..., None], -1)[..., 0])
+        idxs.append(i)
+        b = jnp.where(cols == i[..., None], neg_inf, b)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
+# crossover (measured on v5e, docs/performance.md): k rounds of
+# argmax+mask beat lax.top_k's bitonic partial sort up to k ~ 16
+_TOPK_ITERATIVE_MAX_K = 16
 
 
 class Keypoints(NamedTuple):
@@ -197,7 +268,10 @@ def detect_harris_binned(img, cfg: DetectorConfig = DetectorConfig(),
         a = jnp.where(a >= pooled, a, 0.0)
     bins = a.reshape(cfg.nbiny, sy, cfg.nbinx, sx)
     bins = bins.transpose(0, 2, 1, 3).reshape(cfg.nbiny * cfg.nbinx, sy * sx)
-    vals, flat_idx = jax.lax.top_k(bins, k)  # (nbins, k)
+    if k <= _TOPK_ITERATIVE_MAX_K:
+        vals, flat_idx = _topk_iterative(bins, k)  # (nbins, k)
+    else:
+        vals, flat_idx = jax.lax.top_k(bins, k)
 
     by = jnp.arange(cfg.nbiny * cfg.nbinx) // cfg.nbinx
     bx = jnp.arange(cfg.nbiny * cfg.nbinx) % cfg.nbinx
@@ -248,7 +322,37 @@ def extract_descriptors(img, kp: Keypoints,
     x = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, Wp - d)
     y = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, Hp - d)
     off = jnp.arange(d, dtype=jnp.int32)
-    if cfg.descriptor_gather == "onehot":
+    if cfg.descriptor_gather == "onehot_i8":
+        # The column-selection matmul in the MXU's INTEGER mode (4x the
+        # bf16-input rate on v5e, and the 0/1 selector shrinks 4x to
+        # int8).  EXACT — hence bitwise identical to 'take'/'onehot' —
+        # whenever the image is integer-valued (any uint8 source):
+        # ksize-3 Sobel of [0,255] integers lies in [-1020, 1020], and
+        # p = 16*hi + lo with hi = round(p/16) in [-64,64], lo in
+        # [-8,8] splits it into two int8 planes whose selected sums
+        # reconstruct p exactly in int32.  detect_and_describe selects
+        # this path automatically for uint8 inputs; arbitrary float
+        # images must use 'onehot' (the bf16x3 passes are exact for ANY
+        # f32 — Precision.HIGH splits the f32 mantissa across 3 bf16
+        # terms) — enforced by config validation + the auto-selection.
+        hi = jnp.round(padded * (1.0 / 16.0))
+        lo = padded - 16.0 * hi
+        hi8 = hi.astype(jnp.int8)
+        lo8 = lo.astype(jnp.int8)
+        cidx = (x[:, None] + off[None, :]).reshape(N * d)        # (N*d,)
+        colsel = (jnp.arange(Wp)[:, None] == cidx[None, :]).astype(
+            jnp.int8)                                            # (Wp, N*d)
+        dot = lambda a: jax.lax.dot_general(
+            a, colsel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                    # (Hp, N*d)
+        cols = 16 * dot(hi8) + dot(lo8)                          # int32
+        cols = cols.reshape(Hp, N, d).transpose(1, 0, 2)         # (N, Hp, d)
+        ridx = y[:, None] + off[None, :]                         # (N, d)
+        rowsel = (jnp.arange(Hp)[None, None, :] ==
+                  ridx[:, :, None]).astype(jnp.int32)            # (N, d, Hp)
+        desc = jnp.einsum("nrh,nhc->nrc", rowsel, cols,
+                          ).reshape(N, d * d).astype(padded.dtype)
+    elif cfg.descriptor_gather == "onehot":
         # The gather as two chained 0/1-selection matmuls (columns, then
         # rows) so the MXU does the patch extraction — ~2x the flat
         # gather's speed at KITTI scale (docs/performance.md).  Exact:
@@ -296,8 +400,21 @@ def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig(),
     would inflate cross-view descriptor distances.
     """
     img = jnp.asarray(img)
+    integer_source = jnp.issubdtype(img.dtype, jnp.integer)
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)
+    if (cfg.descriptor_gather == "onehot" and integer_source
+            and cfg.sharpen_sigma == 0 and cfg.pyramid_levels <= 1):
+        # Integer-valued image and no fractional preprocessing ahead:
+        # the int8-MXU gather is EXACT here (see extract_descriptors),
+        # so upgrade to it — bitwise-identical descriptors from 2
+        # int8-mode MXU passes instead of 3 bf16 passes, with a 4x
+        # smaller selector.  Sharpening (fractional Gaussian taps) and
+        # pyramid downscales break integrality, so those paths keep the
+        # bf16x3 'onehot' (exact for any f32).
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, descriptor_gather="onehot_i8")
     if cfg.sharpen_sigma > 0:
         sharp = unsharp_mask(img, cfg.sharpen_sigma, cfg.sharpen_amount)
         if cfg.sharpen_auto:

@@ -224,3 +224,100 @@ def test_nms_dedups_adjacent_maxima(rng):
     # subset semantics)
     r1 = np.asarray(kp1.response)[np.asarray(kp1.valid)]
     assert (r1 > 0).all()
+
+
+def test_topk_iterative_bitexact_vs_lax_topk(rng):
+    """The iterative (argmax+mask) top-k must be BIT-identical to
+    ``lax.top_k`` — values AND indices, including ties (both rules keep
+    the lowest index first) — since detect_harris_binned auto-selects it
+    for the default corner budget (k=10 <= _TOPK_ITERATIVE_MAX_K)."""
+    import jax
+
+    from libviso_tpu.ops.features import _topk_iterative
+
+    # random rows + tie-heavy rows (quantized values force equal entries)
+    a = rng.standard_normal((40, 513)).astype(np.float32)
+    a[10:20] = np.round(a[10:20] * 2) / 2          # many exact ties
+    a[20] = 0.0                                    # all-equal row
+    a[21, :5] = np.float32(np.inf)                 # +inf ties
+    for k in (1, 3, 10, 16):
+        v_ref, i_ref = jax.lax.top_k(jnp.asarray(a), k)
+        v_it, i_it = jax.jit(_topk_iterative, static_argnums=1)(
+            jnp.asarray(a), k)
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_it))
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_it))
+
+
+def test_detect_binned_iterative_topk_default_path(rng):
+    """detect_harris_binned output is identical whether the per-bin top-k
+    runs through the iterative path (default budget) or lax.top_k
+    (forced via a large corners_per_bin threshold)."""
+    from libviso_tpu.ops import features as F
+
+    img = make_image(rng, h=100, w=240)
+    cfg = DetectorConfig(max_features=240, nbinx=8, nbiny=3, num_slots=256)
+    assert cfg.corners_per_bin <= F._TOPK_ITERATIVE_MAX_K
+    kp_it = detect_harris_binned(jnp.asarray(img, jnp.float32), cfg)
+
+    orig = F._TOPK_ITERATIVE_MAX_K
+    try:
+        F._TOPK_ITERATIVE_MAX_K = 0  # force the lax.top_k path
+        kp_lax = detect_harris_binned(jnp.asarray(img, jnp.float32), cfg)
+    finally:
+        F._TOPK_ITERATIVE_MAX_K = orig
+
+    np.testing.assert_array_equal(np.asarray(kp_it.xy), np.asarray(kp_lax.xy))
+    np.testing.assert_array_equal(np.asarray(kp_it.response),
+                                  np.asarray(kp_lax.response))
+    np.testing.assert_array_equal(np.asarray(kp_it.valid),
+                                  np.asarray(kp_lax.valid))
+
+
+def test_descriptor_gather_onehot_i8_bitexact():
+    """The int8-MXU patch gather must be bitwise identical to the flat
+    gather for integer-valued images (ksize-3 Sobel of [0,255] integers
+    lies in [-1020,1020]; the 16*hi+lo int8 split reconstructs it
+    exactly in int32), and detect_and_describe must auto-select it for
+    uint8 inputs WITHOUT changing any output."""
+    import dataclasses
+
+    from libviso_tpu.ops.features import (detect_and_describe,
+                                          detect_harris_binned,
+                                          extract_descriptors)
+
+    rng = np.random.default_rng(11)
+    img_u8 = rng.integers(0, 256, (160, 416), dtype=np.uint8)
+    img = jnp.asarray(img_u8, jnp.float32)
+    cfg = DetectorConfig(max_features=240, nbinx=8, nbiny=3, num_slots=256)
+    kp = detect_harris_binned(img, cfg)
+    d_i8 = extract_descriptors(
+        img, kp, dataclasses.replace(cfg, descriptor_gather="onehot_i8"))
+    d_take = extract_descriptors(
+        img, kp, dataclasses.replace(cfg, descriptor_gather="take"))
+    np.testing.assert_array_equal(np.asarray(d_i8), np.asarray(d_take))
+
+    # extreme values: saturated-black/white blocks exercise the +-1020
+    # Sobel extremes and the hi/lo split boundaries
+    blocky = np.zeros((96, 256), np.uint8)
+    blocky[:, ::2] = 255
+    blocky[40:60, 100:140] = rng.integers(0, 256, (20, 40))
+    img2 = jnp.asarray(blocky, jnp.float32)
+    kp2 = detect_harris_binned(img2, cfg)
+    a = extract_descriptors(
+        img2, kp2, dataclasses.replace(cfg, descriptor_gather="onehot_i8"))
+    b = extract_descriptors(
+        img2, kp2, dataclasses.replace(cfg, descriptor_gather="take"))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # auto-selection: uint8 input and f32 input produce identical output
+    kp_a, d_a = detect_and_describe(jnp.asarray(img_u8), cfg)
+    kp_b, d_b = detect_and_describe(img, cfg)
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+    np.testing.assert_array_equal(np.asarray(kp_a.xy), np.asarray(kp_b.xy))
+
+    # fractional preprocessing (sharpening) must NOT auto-upgrade:
+    # integrality is broken, so the f32-exact onehot path must be kept
+    cfg_sharp = dataclasses.replace(cfg, sharpen_sigma=3.0)
+    kp_c, d_c = detect_and_describe(jnp.asarray(img_u8), cfg_sharp)
+    kp_d, d_d = detect_and_describe(img, cfg_sharp)
+    np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_d))
