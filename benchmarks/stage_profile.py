@@ -40,6 +40,7 @@ def main():
 
     reps = _flag("reps", 8)
     chain = _flag("chain", 128)
+    only = _flag("only", "")  # comma-separated substrings; empty = all
 
     cfg = PipelineConfig()
     seq = generate_sequence(num_frames=8, num_points=900, seed=0,
@@ -71,8 +72,14 @@ def main():
 
     rows = []
 
+    def _selected(name):
+        return (not only) or any(s in name for s in only.split(","))
+
     def chained(name, fn_body):
         """fn_body(carry_scalar, i) -> scalar; chained `chain` times."""
+        if not _selected(name):
+            return
+
         def fn(x):
             def body(c, i):
                 return fn_body(c, i, x), None
@@ -118,6 +125,9 @@ def main():
         return jnp.sum(out.tr) * 1e-9 + c * 0.5
 
     def chained_u8(name, fn_body):
+        if not _selected(name):
+            return
+
         def fn(x):
             def body(c, i):
                 return fn_body(c, i, x), None
@@ -222,6 +232,28 @@ def main():
         return jnp.sum(ds) * 1e-12
 
     chained("    extract_descriptors x2", desc_body)
+
+    import dataclasses as _dc
+    det_i8 = _dc.replace(det, descriptor_gather="onehot_i8")
+    det_take = _dc.replace(det, descriptor_gather="take")
+
+    def desc_i8_body(c, i, x):
+        f = x[i % x.shape[0]]
+        ims = jnp.stack([f[0], f[1]]) * (1.0 + c)
+        ds = jax.vmap(
+            lambda im: extract_descriptors(im, kp_ref, det_i8))(ims)
+        return jnp.sum(ds) * 1e-12
+
+    chained("    extract_desc[i8] x2", desc_i8_body)
+
+    def desc_take_body(c, i, x):
+        f = x[i % x.shape[0]]
+        ims = jnp.stack([f[0], f[1]]) * (1.0 + c)
+        ds = jax.vmap(
+            lambda im: extract_descriptors(im, kp_ref, det_take))(ims)
+        return jnp.sum(ds) * 1e-12
+
+    chained("    extract_desc[take] x2", desc_take_body)
 
     print("\nstage table (ms):", file=sys.stderr)
     for n, ms in rows:

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from libviso_tpu.geometry.mvg import e2h, sampson_distance
+from libviso_tpu.ops.topk import topk_auto
 from libviso_tpu.utils.stats import masked_median_abs
 
 
@@ -571,7 +572,7 @@ def ransac_essential(key, x1, x2, valid=None, num_hypotheses=128,
 
     gumbel = jax.random.gumbel(key, (num_hypotheses, N), dtype=x1.dtype)
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, sample_size)
+    _, idx = topk_auto(scores, sample_size)
 
     if method == "5pt":
         from libviso_tpu.geometry.five_point import five_point_E

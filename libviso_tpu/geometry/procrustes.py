@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from libviso_tpu.ops.topk import topk_auto
+
 
 def solve_rigid_motion(A, B, weights=None):
     """Weighted orthogonal Procrustes: find R, t minimizing sum w |R b + t - a|^2.
@@ -84,7 +86,7 @@ def ransac_rigid_motion(key, A, B, valid=None, num_hypotheses=100,
     # Sample `model_size` distinct valid indices per hypothesis.
     gumbel = jax.random.gumbel(key, (num_hypotheses, N))
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(scores, model_size)  # (H, model_size)
+    _, sample_idx = topk_auto(scores, model_size)  # (H, model_size)
 
     sampleA = A[sample_idx]  # (H, model_size, 3)
     sampleB = B[sample_idx]

@@ -198,34 +198,11 @@ def harris_response(img, block_size=3, aperture=5, k=0.04,
     return det - k * trace * trace
 
 
-def _topk_iterative(bins, k):
-    """Exact row-wise top-k by k rounds of (argmax, mask) — bit-identical
-    to ``lax.top_k`` (descending values; ties broken by LOWEST index, the
-    rule both ``lax.top_k`` and ``jnp.argmax`` share).
+# shared small-k exact top-k (k rounds of argmax+mask, bit-identical to
+# lax.top_k; see ops/topk.py for the cost analysis + tie semantics)
+from libviso_tpu.ops.topk import topk_iterative as _topk_iterative
 
-    ``lax.top_k`` lowers to a bitonic partial SORT of each row (~0.3 ms
-    for the detector's (120, 3825) bins on a v5e, measured round 3),
-    paying O(M log^2 M) data movement to order elements the detector
-    throws away; at the detector's default k=10, k linear passes move
-    ~20x less data and fuse into the surrounding response pipeline.
-    Auto-selected by ``detect_harris_binned`` for k <= 16 (the sort
-    wins asymptotically; the cap is conservative).
-    """
-    M = bins.shape[-1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, bins.shape, bins.ndim - 1)
-    neg_inf = jnp.asarray(-jnp.inf, bins.dtype)
-    vals, idxs = [], []
-    b = bins
-    for _ in range(k):
-        i = jnp.argmax(b, axis=-1).astype(jnp.int32)
-        vals.append(jnp.take_along_axis(b, i[..., None], -1)[..., 0])
-        idxs.append(i)
-        b = jnp.where(cols == i[..., None], neg_inf, b)
-    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
-
-
-# crossover (measured on v5e, docs/performance.md): k rounds of
-# argmax+mask beat lax.top_k's bitonic partial sort up to k ~ 16
+# crossover cap, module-local so tests can force the lax.top_k path
 _TOPK_ITERATIVE_MAX_K = 16
 
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from libviso_tpu.config import Calib, RansacConfig
+from libviso_tpu.ops.topk import topk_auto
 from libviso_tpu.solvers.gauss_newton import (
     gauss_newton,
     reprojection_errors_sq,
@@ -71,7 +72,7 @@ def ransac_pose(key, X, observe, valid, calib: Calib,
     # --- sample: H x model_size distinct valid indices (Gumbel top-k) ---
     gumbel = jax.random.gumbel(key, (H, N), dtype=dtype)
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(scores, cfg.model_size)  # (H, k)
+    _, sample_idx = topk_auto(scores, cfg.model_size)  # (H, k)
 
     Xs = X[sample_idx]                  # (H, k, 3)
     obs_s = observe[sample_idx]         # (H, k, 4)
