@@ -49,7 +49,12 @@ def main():
             for k in range(reps + 4)]
     off = jnp.arange(d, dtype=jnp.int32)
 
+    only = _flag("only", "")
+
     def chained(name, fn_body):
+        if only and not any(s in name for s in only.split(",")):
+            return
+
         def fn(s):
             def body(c, i):
                 return fn_body(s * (1.0 + c), i), None
@@ -105,6 +110,49 @@ def main():
         return jnp.sum(desc) * 1e-12
 
     chained("full onehot (einsum stage2)", full_body)
+
+    # integer-image exact variants: single concatenated-split dot
+    # (p = hi + lo split rides ONE contraction over K=2*Wp instead of
+    # two materialized product buffers)
+    iota2 = jnp.arange(2 * Wp)[:, None]
+
+    def concat_bf16_body(p, i):
+        pr = jnp.round(p)  # integer-valued (the exactness precondition)
+        hi = 256.0 * jnp.round(pr * (1.0 / 256.0))
+        lo = pr - hi
+        lhs = jnp.concatenate(
+            [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)], axis=1)
+        sel = ((iota2 == cidx[None, :]) | (iota2 - Wp == cidx[None, :])
+               ).astype(jnp.bfloat16)
+        cols = lax.dot_general(lhs, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        colsT = cols.reshape(Hp, N, d).transpose(1, 0, 2)
+        rowsel = (jnp.arange(Hp)[None, None, :]
+                  == ridx[:, :, None]).astype(jnp.float32)
+        desc = jnp.einsum("nrh,nhc->nrc", rowsel, colsT,
+                          precision=lax.Precision.HIGH).reshape(N, d * d)
+        return jnp.sum(desc) * 1e-12
+
+    chained("concat bf16-split single dot", concat_bf16_body)
+
+    def concat_i8_body(p, i):
+        pr = jnp.round(p)
+        hi = jnp.round(pr * (1.0 / 16.0))
+        lo = pr - 16.0 * hi
+        lhs = jnp.concatenate(
+            [hi.astype(jnp.int8), lo.astype(jnp.int8)], axis=1)
+        sel = (16 * (iota2 == cidx[None, :]).astype(jnp.int8)
+               + (iota2 - Wp == cidx[None, :]).astype(jnp.int8))
+        cols = lax.dot_general(lhs, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+        colsT = cols.reshape(Hp, N, d).transpose(1, 0, 2)
+        rowsel = (jnp.arange(Hp)[None, None, :]
+                  == ridx[:, :, None]).astype(jnp.int32)
+        desc = jnp.einsum("nrh,nhc->nrc", rowsel, colsT
+                          ).reshape(N, d * d).astype(jnp.float32)
+        return jnp.sum(desc) * 1e-12
+
+    chained("concat i8-split single dot", concat_i8_body)
 
     # stage-2 alternative: take_along_axis row gather
     def ta_body(p, i):
