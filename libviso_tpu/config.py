@@ -117,6 +117,18 @@ class DetectorConfig:
             raise ValueError(
                 f"descriptor_gather must be 'onehot', 'onehot_i8' or "
                 f"'take', got {self.descriptor_gather!r}")
+        if self.descriptor_gather == "onehot_i8" and (
+                self.sharpen_sigma > 0 or self.pyramid_levels > 1):
+            # The int8 split is exact only for integer-valued images;
+            # sharpening (fractional Gaussian taps) and pyramid
+            # downscales produce fractional pixels that the split would
+            # silently round (ADVICE r3).  Use 'onehot' — it is exact
+            # for any f32 and detect_and_describe auto-upgrades to
+            # onehot_i8 whenever the input really is uint8-integral.
+            raise ValueError(
+                "descriptor_gather='onehot_i8' requires integer-valued "
+                "images; sharpen_sigma>0 / pyramid_levels>1 break that — "
+                "use 'onehot' (auto-upgrades to int8 when exact)")
         if self.sharpen_sigma < 0:
             raise ValueError("sharpen_sigma must be >= 0")
         if self.sharpen_auto and self.sharpen_sigma <= 0:

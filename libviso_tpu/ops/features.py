@@ -200,10 +200,13 @@ def harris_response(img, block_size=3, aperture=5, k=0.04,
 
 # shared small-k exact top-k (k rounds of argmax+mask, bit-identical to
 # lax.top_k; see ops/topk.py for the cost analysis + tie semantics)
+from libviso_tpu.ops.topk import ITERATIVE_MAX_K as _SHARED_ITERATIVE_MAX_K
 from libviso_tpu.ops.topk import topk_iterative as _topk_iterative
 
-# crossover cap, module-local so tests can force the lax.top_k path
-_TOPK_ITERATIVE_MAX_K = 16
+# crossover cap — module-local name so tests can force the lax.top_k
+# path, but initialized from the single measured constant in ops/topk.py
+# so a retune there propagates here.
+_TOPK_ITERATIVE_MAX_K = _SHARED_ITERATIVE_MAX_K
 
 
 class Keypoints(NamedTuple):
@@ -308,10 +311,16 @@ def extract_descriptors(img, kp: Keypoints,
         # p = 16*hi + lo with hi = round(p/16) in [-64,64], lo in
         # [-8,8] splits it into two int8 planes whose selected sums
         # reconstruct p exactly in int32.  detect_and_describe selects
-        # this path automatically for uint8 inputs; arbitrary float
-        # images must use 'onehot' (the bf16x3 passes are exact for ANY
-        # f32 — Precision.HIGH splits the f32 mantissa across 3 bf16
-        # terms) — enforced by config validation + the auto-selection.
+        # this path automatically for UINT8 inputs only (wider integer
+        # dtypes overflow the hi plane: hi = round(p/16) must fit int8,
+        # i.e. |p| <= 1023.5 — true for 8-bit Sobel, false for uint16+);
+        # arbitrary float images must use 'onehot' (the bf16x3 passes
+        # are exact for ANY f32 — Precision.HIGH splits the f32 mantissa
+        # across 3 bf16 terms).  DetectorConfig.__post_init__ rejects
+        # hand-written configs combining 'onehot_i8' with sharpening or
+        # pyramid levels (fractional preprocessing breaks integrality);
+        # a non-integral or out-of-range image reaching this branch
+        # still rounds/wraps — keep it behind the auto-selection.
         hi = jnp.round(padded * (1.0 / 16.0))
         lo = padded - 16.0 * hi
         hi8 = hi.astype(jnp.int8)
@@ -377,13 +386,17 @@ def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig(),
     would inflate cross-view descriptor distances.
     """
     img = jnp.asarray(img)
-    integer_source = jnp.issubdtype(img.dtype, jnp.integer)
+    # uint8 ONLY: the 16*hi+lo int8 split is exact iff |Sobel| <= 1023.5
+    # (ksize-3 Sobel of [0,255] lies in [-1020,1020]); uint16/int32
+    # sources overflow hi=round(p/16) past int8 and would wrap silently
+    # (ADVICE r3: measured descriptor error up to 239280 on uint16).
+    u8_source = img.dtype == jnp.uint8
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)
-    if (cfg.descriptor_gather == "onehot" and integer_source
+    if (cfg.descriptor_gather == "onehot" and u8_source
             and cfg.sharpen_sigma == 0 and cfg.pyramid_levels <= 1):
-        # Integer-valued image and no fractional preprocessing ahead:
-        # the int8-MXU gather is EXACT here (see extract_descriptors),
+        # 8-bit image and no fractional preprocessing ahead: the
+        # int8-MXU gather is EXACT here (see extract_descriptors),
         # so upgrade to it — bitwise-identical descriptors from 2
         # int8-mode MXU passes instead of 3 bf16 passes, with a 4x
         # smaller selector.  Sharpening (fractional Gaussian taps) and

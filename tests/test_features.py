@@ -321,3 +321,37 @@ def test_descriptor_gather_onehot_i8_bitexact():
     kp_c, d_c = detect_and_describe(jnp.asarray(img_u8), cfg_sharp)
     kp_d, d_d = detect_and_describe(img, cfg_sharp)
     np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_d))
+
+
+def test_onehot_i8_not_selected_for_wide_integers():
+    """ADVICE r3 (medium): the int8 split is exact only for 8-bit
+    sources — uint16 Sobel values overflow hi=round(p/16) past int8 and
+    would wrap silently.  detect_and_describe must NOT auto-upgrade for
+    integer dtypes wider than uint8; descriptors must match the exact
+    f32 path bitwise."""
+    import dataclasses
+
+    from libviso_tpu.ops.features import detect_and_describe
+
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 65536, (96, 256), dtype=np.uint16)
+    cfg = DetectorConfig(max_features=240, nbinx=8, nbiny=3, num_slots=256)
+    kp_a, d_a = detect_and_describe(jnp.asarray(img16), cfg)
+    kp_b, d_b = detect_and_describe(
+        jnp.asarray(img16), dataclasses.replace(cfg,
+                                                descriptor_gather="take"))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+    np.testing.assert_array_equal(np.asarray(kp_a.xy), np.asarray(kp_b.xy))
+
+
+def test_onehot_i8_config_rejects_fractional_preprocessing():
+    """Hand-written configs combining onehot_i8 with sharpening or
+    pyramid levels must be rejected at construction (ADVICE r3 low):
+    both produce fractional pixels the int8 split would silently round."""
+    import pytest
+
+    with pytest.raises(ValueError, match="onehot_i8"):
+        DetectorConfig(descriptor_gather="onehot_i8", sharpen_sigma=2.0)
+    with pytest.raises(ValueError, match="onehot_i8"):
+        DetectorConfig(descriptor_gather="onehot_i8", pyramid_levels=2)
+    DetectorConfig(descriptor_gather="onehot_i8")  # plain form is fine
