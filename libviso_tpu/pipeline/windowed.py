@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libviso_tpu.config import Calib, PipelineConfig
+from libviso_tpu.config import BAConfig, Calib, PipelineConfig
 from libviso_tpu.geometry.mvg import F_from_P_host
 from libviso_tpu.geometry.se3 import chain_motions, pose_vector_to_matrix
 from libviso_tpu.pipeline.batched import build_batched_odometry
@@ -37,7 +37,8 @@ import functools
 @functools.lru_cache(maxsize=8)
 def _jitted_fns(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
                 backend: str, ba_iters: int, outlier_px: float,
-                rerank_px: float):
+                rerank_px: float, holdout_modulus: int,
+                holdout_margin: float):
     """jit the three per-window programs ONCE per configuration.
 
     run_windowed_ba may be called repeatedly (multi-sequence runs, tests);
@@ -65,7 +66,9 @@ def _jitted_fns(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
                                      outlier_px=outlier_px,
                                      rerank_px=rerank_px,
                                      pose_prior=pose_prior,
-                                     prior_weight=weight)
+                                     prior_weight=weight,
+                                     holdout_modulus=holdout_modulus,
+                                     holdout_margin=holdout_margin)
 
     refine = jax.jit(_refine)
     build = jax.jit(lambda tr, motions: build_window_problem(
@@ -128,18 +131,26 @@ class WindowedResult:
 
 
 def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
-                    window: int = 8, stride: int = 4, ba_iters: int = 10,
+                    ba: BAConfig = BAConfig(),
+                    window: int = None, stride: int = None,
+                    ba_iters: int = None,
                     seed: int = 0, backend: str = "xla",
                     checkpoint=None,
                     fingerprint_scope: str = "",
-                    outlier_px: float = 30.0, rerank_px: float = 2.0,
-                    prior_strength: float = 1.0,
-                    min_cam_obs: int = 24,
+                    outlier_px: float = None, rerank_px: float = None,
+                    prior_strength: float = None,
+                    min_cam_obs: int = None,
+                    gate: bool = None,
+                    holdout_modulus: int = None,
+                    gate_margin: float = None,
                     dbg_dir=None) -> WindowedResult:
     """Stereo VO + sliding-window BA over a full sequence.
 
     Args:
       frames: list of (left, right) image pairs (host arrays).
+      ba: BAConfig carrying every BA knob (VERDICT r3 #8).  The explicit
+        keyword arguments below override individual fields when not None
+        (back-compat surface; new call sites should pass ``ba``).
       window: frames per BA window.
       stride: window start spacing (stride < window = overlap).
       checkpoint: optional utils.checkpoint.CheckpointManager; progress is
@@ -157,7 +168,36 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         a third of a typical window's own information about a boundary
         pose (calibrated in docs/performance.md); 0 disables (round-1
         later-window-wins behavior).
+      gate, holdout_modulus, gate_margin: per-window acceptance gate
+        (VERDICT r3 #6, pipeline/refine.py::holdout_gate): a window's
+        refined motions are applied only when they predict the gate
+        observations CLEARLY better (paired error ratio vs the VO
+        poses, split-half replicated, < margin) — rejected windows fall
+        back to VO wholesale, making ``--ba-window`` never-worse on
+        clean runs where the BA posterior re-fits texture-phase drift.
+        ``holdout_modulus`` 0 gates on all masked observations; m>1
+        holds every m-th landmark out of BA and gates on those.
     """
+    if window is None:
+        window = ba.window
+    if stride is None:
+        stride = ba.stride
+    if ba_iters is None:
+        ba_iters = ba.iters
+    if outlier_px is None:
+        outlier_px = ba.outlier_px
+    if rerank_px is None:
+        rerank_px = ba.rerank_px
+    if prior_strength is None:
+        prior_strength = ba.prior_strength
+    if min_cam_obs is None:
+        min_cam_obs = ba.min_cam_obs
+    if gate is None:
+        gate = ba.gate
+    if holdout_modulus is None:
+        holdout_modulus = ba.holdout_modulus
+    if gate_margin is None:
+        gate_margin = ba.gate_margin
     if stride > window:
         # starts would advance past window ends, leaving periodic frame
         # gaps whose motions stay zero-initialized — a silently corrupt
@@ -171,7 +211,8 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
     F = F_from_P_host(P1, P2)
     fn, build, refine = _jitted_fns(
         calib, np.ascontiguousarray(F, np.float64).tobytes(), cfg,
-        backend, ba_iters, float(outlier_px), float(rerank_px))
+        backend, ba_iters, float(outlier_px), float(rerank_px),
+        int(holdout_modulus), float(gate_margin))
     # per-dof prior information, px^2 per unit^2: a rotation dof moves a
     # pixel by ~f px/rad, a translation dof by ~f/Z px/m (Z ~ 15 m
     # typical landmark depth) — scaled to ~1/3 of the ~200-observation
@@ -230,7 +271,8 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
             cfg, seed, backend,
             scope=f"ba:{window}:{stride}:{ba_iters}:T{T}:"
                   f"p{prior_strength}:o{outlier_px}:r{rerank_px}:"
-                  f"c{min_cam_obs}:{fingerprint_scope}")
+                  f"c{min_cam_obs}:g{int(gate)}h{holdout_modulus}"
+                  f"x{gate_margin}:{fingerprint_scope}")
         ck = checkpoint.latest()
         if ck is not None:
             if ck.fingerprint != fingerprint:
@@ -280,23 +322,27 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         prior_motions = jnp.asarray(motions[s:e])
         if dbg_dir is not None:
             _dump_window_debug(dbg_dir, frames, s, overlap, e, tracks)
-        refined, c0, c1, ok_ba, cam_obs = refine(
-            prob, out.motions, prior_motions,
-            jnp.asarray(prior_count, jnp.int32),
-            jnp.asarray(prior_w6))
-        refined = np.asarray(refined)
+        ref = refine(prob, out.motions, prior_motions,
+                     jnp.asarray(prior_count, jnp.int32),
+                     jnp.asarray(prior_w6))
+        refined = np.asarray(ref.motions)
         out_ok = np.asarray(out.ok)
         # a motion is BA-trustworthy only when the window converged AND
+        # the held-out landmark gate accepted the refined poses (clear
+        # win over VO on tracks BA never saw — pipeline/refine.py) AND
         # both endpoint cameras kept enough post-gate observations —
         # a weakly-observed camera's refined motion can be meters off
         # while the window cost still drops (pipeline/refine.py)
-        cam_obs = np.asarray(cam_obs)
+        cam_obs = np.asarray(ref.cam_obs)
         cam_ok = cam_obs >= min_cam_obs
-        motion_ok = bool(ok_ba) & cam_ok & np.roll(cam_ok, 1)
+        accepted = bool(ref.ok) & (not gate or bool(ref.holdout_ok))
+        motion_ok = accepted & cam_ok & np.roll(cam_ok, 1)
         motion_ok[0] = False
         use = np.where(motion_ok[:, None], refined,
                        np.asarray(out.motions))
-        window_costs.append((float(c0), float(c1), bool(ok_ba)))
+        window_costs.append((float(ref.initial_cost), float(ref.cost),
+                             accepted, float(ref.holdout_half0),
+                             float(ref.holdout_half1)))
         # local index 0 is the window's halo frame (no motion)
         motions[s + 1:e] = use[1:]
         motions_vo[s + 1:e] = np.asarray(out.motions)[1:]

@@ -71,9 +71,15 @@ def test_refinement_reduces_cost_and_tracks_gt(window_run):
         tracks.kp1_xy, tracks.kp2_xy, tracks.mlr_idx, tracks.mlr_valid,
         tracks.m11_idx, tracks.m11_valid, tracks.X, out.motions,
         cfg.detector.num_slots, circ_valid=tracks.circ_valid)
-    motions, c0, c1, ok, cam_obs = refine_window_motions(prob, calib,
-                                                         iters=10)
+    ref = refine_window_motions(prob, calib, iters=10)
+    motions, c0, c1, ok = ref.motions, ref.initial_cost, ref.cost, ref.ok
     assert bool(ok)
+    # split-half paired ratios are finite and in a plausible band on
+    # clean data (whether BA CLEARLY beats VO here is margin-dependent —
+    # the gate's accept/reject behavior is pinned on world frames in
+    # tests/test_world.py)
+    assert 0.0 < float(ref.holdout_half0) < 3.0
+    assert 0.0 < float(ref.holdout_half1) < 3.0
     assert float(c1) <= float(c0)
 
     poses_vo = np.asarray(chain_motions(
@@ -97,9 +103,15 @@ def test_refinement_fixes_perturbed_motions(window_run):
         tracks.kp1_xy, tracks.kp2_xy, tracks.mlr_idx, tracks.mlr_valid,
         tracks.m11_idx, tracks.m11_valid, tracks.X, bad,
         cfg.detector.num_slots, circ_valid=tracks.circ_valid)
-    motions, c0, c1, ok, cam_obs = refine_window_motions(prob, calib,
-                                                         iters=15)
+    ref = refine_window_motions(prob, calib, iters=15)
+    motions, c0, c1, ok = ref.motions, ref.initial_cost, ref.cost, ref.ok
     assert bool(ok)
+    # the held-out tracks see the perturbed motion too: refined poses
+    # predict them CLEARLY better than the corrupted baseline on BOTH
+    # holdout halves, so the clear-win gate accepts (the case BA is for)
+    assert bool(ref.holdout_ok)
+    assert float(ref.holdout_half0) < 0.85
+    assert float(ref.holdout_half1) < 0.85
     assert float(c1) < float(c0) * 0.5
     # refined motion 2 lands near ground truth (BA jointly optimizes
     # landmarks, so its optimum needn't coincide with the VO estimate —

@@ -28,10 +28,16 @@ def test_windowed_ba_sequence():
                                 num_slots=512),
         ransac=RansacConfig(num_hypotheses=32, gn_iters=50),
     )
+    # gate=False: this test pins the BA SOLVER's improvement on the
+    # sprite oracle (fixed 3D landmarks).  The acceptance gate is
+    # deliberately conservative — its frozen-X0 statistic cannot see
+    # improvements mediated by landmark corrections, which is exactly
+    # what sprite-oracle BA does — and is pinned separately on world
+    # frames (tests/test_world.py::test_world_windowed_ba_never_worse).
     res = run_windowed_ba(seq.frames, seq.P1, seq.P2, cfg, window=6,
-                          stride=3, ba_iters=10)
+                          stride=3, ba_iters=10, gate=False)
     assert res.frame_ok[1:].all()
-    for c0, c1, ok in res.window_costs:
+    for c0, c1, ok, half0, half1 in res.window_costs:
         assert ok
         assert c1 <= c0
     ate_vo = ate_rmse(res.poses_vo, seq.gt_poses)
@@ -121,10 +127,14 @@ def test_windowed_ba_prior_consistency():
 
     seq = generate_sequence(num_frames=16, num_points=400, seed=3,
                             width=416, height=160)
+    # gate=False: pins the PRIOR's effect on the solver output (see
+    # test_windowed_ba_sequence for why sprite BA tests bypass the gate)
     r0 = run_windowed_ba(seq.frames, seq.P1, seq.P2, tiny_config(),
-                         window=8, stride=4, seed=0, prior_strength=0.0)
+                         window=8, stride=4, seed=0, prior_strength=0.0,
+                         gate=False)
     r1 = run_windowed_ba(seq.frames, seq.P1, seq.P2, tiny_config(),
-                         window=8, stride=4, seed=0, prior_strength=1.0)
+                         window=8, stride=4, seed=0, prior_strength=1.0,
+                         gate=False)
     a0 = ate_rmse(r0.poses, seq.gt_poses)
     a1 = ate_rmse(r1.poses, seq.gt_poses)
     a_vo = ate_rmse(r1.poses_vo, seq.gt_poses)

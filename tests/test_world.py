@@ -287,6 +287,36 @@ def test_world_loop_closure_removes_drift(world_cfg):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("seed", [1, 2, 6])
+def test_world_windowed_ba_never_worse(seed, world_cfg):
+    """VERDICT r3 #6: the per-window acceptance gate must make
+    --ba-window never-worse on photograph-like imagery, where plain BA
+    can DEGRADE a clean run by re-fitting texture-phase drift (round 3
+    measured seed 1: VO 0.038 -> plain BA 0.059 m).
+
+    Measured with the gate (benchmarks/world_ba_sweep.py, 12 regime x
+    seed rows, r4): 0/12 worse than the driver's own VO; 3 rows
+    accepted windows and improved up to 2.7x (seed 6: 0.078 -> 0.029).
+    Pins never-worse on seeds {1 (the round-3 regression), 2, 6} and
+    the seed-6 improvement."""
+    from libviso_tpu.pipeline.windowed import run_windowed_ba
+    from libviso_tpu.utils.metrics import ate_rmse
+
+    seq = generate_world_sequence(seed=seed, width=416, height=160,
+                                  num_frames=12)
+    res = run_windowed_ba(list(seq.frames), seq.P1, seq.P2, world_cfg,
+                          window=6, stride=3, seed=seed)
+    ate_vo = float(ate_rmse(res.poses_vo, seq.gt_poses))
+    ate_ba = float(ate_rmse(res.poses, seq.gt_poses))
+    # never worse than the trajectory a full rejection falls back to
+    assert ate_ba <= ate_vo * 1.10 + 0.005, (ate_vo, ate_ba)
+    if seed == 6:
+        # the gate accepts a genuine fix here (measured 0.078 -> 0.029;
+        # generous bound to absorb refactors that shift RANSAC draws)
+        assert ate_ba < ate_vo * 0.8, (ate_vo, ate_ba)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", list(REGIMES))
 def test_world_vo_within_bounds(name, world_cfg):
     from libviso_tpu.pipeline.stereo import run_stereo_sequence
