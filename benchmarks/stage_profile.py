@@ -255,6 +255,24 @@ def main():
 
     chained("    extract_desc[take] x2", desc_take_body)
 
+    def desc_banded_body(c, i, x):
+        f = x[i % x.shape[0]]
+        ims = jnp.stack([f[0], f[1]]) * (1.0 + c)
+        ds = jax.vmap(lambda im: extract_descriptors(
+            im, kp_ref, det, binned_layout=True))(ims)
+        return jnp.sum(ds) * 1e-12
+
+    chained("    extract_desc[banded] x2", desc_banded_body)
+
+    def desc_banded_i8_body(c, i, x):
+        f = x[i % x.shape[0]]
+        ims = jnp.stack([f[0], f[1]]) * (1.0 + c)
+        ds = jax.vmap(lambda im: extract_descriptors(
+            im, kp_ref, det_i8, binned_layout=True))(ims)
+        return jnp.sum(ds) * 1e-12
+
+    chained("    extract_desc[banded_i8] x2", desc_banded_i8_body)
+
     print("\nstage table (ms):", file=sys.stderr)
     for n, ms in rows:
         print(f"  {n:34s} {ms:7.3f}", file=sys.stderr)

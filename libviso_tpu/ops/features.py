@@ -274,8 +274,100 @@ def detect_harris_binned(img, cfg: DetectorConfig = DetectorConfig(),
     return Keypoints(xy=xy, response=response, valid=valid)
 
 
+def _banded_gather(padded, x, y, cfg: DetectorConfig, H, W, i8: bool):
+    """Bin-banded one-hot patch gather (round 4, VERDICT r3 #1).
+
+    ``detect_harris_binned`` emits slots in (biny, binx, k) order, so
+    slot group b = by*nbinx + bx only ever reads a static
+    (sy + d + 1) x (sx + d + 1) window of the padded Sobel image (the
+    +d-1 patch apron, +2 for rounding/subpixel drift).  Exploiting that
+    static locality shrinks BOTH 0/1-selection matmuls from image-sized
+    to bin-sized — ~16x less effective MXU work and ~10x less selector
+    traffic than the dense formulation at KITTI scale (the dense
+    column selector alone is a 70 MB materialization; the banded pair
+    is ~8 MB).  Values are still single selections, so the result is
+    bitwise identical to the dense 'onehot'/'take' paths (tested).
+
+    The row-selection runs as a dense (k*d, sh) x (sh, k*d) matmul per
+    bin and keeps the k diagonal (d, d) blocks — the k^2 - k off-
+    diagonal blocks are waste, but at k ~ 10 the padded bin matmuls
+    still do ~16x less work than the dense image-sized selection, and
+    a per-slot einsum at these shapes pads each (d, sh) tile to the
+    MXU's (8, 128) granularity anyway.
+
+    Returns (n, d*d) descriptors for the n = nbinx*nbiny*k real slots
+    (callers pad the num_slots tail, which is invalid by construction).
+    """
+    r = cfg.descriptor_radius
+    d = 2 * r + 1
+    Hp, Wp = padded.shape
+    nbx, nby, k = cfg.nbinx, cfg.nbiny, cfg.corners_per_bin
+    n = nbx * nby * k
+    sx, sy = W // nbx, H // nby
+    sw, sh = sx + d + 1, sy + d + 1
+    nbins = nby * nbx
+    # static per-strip window origins (+1 apron each side for the
+    # round()-of-fractional and subpixel <=0.5 px coordinate drift)
+    c0 = [min(max(g * sx - 1, 0), Wp - sw) for g in range(nbx)]
+    r0 = [min(max(b * sy - 1, 0), Hp - sh) for b in range(nby)]
+    strips = jnp.stack([jax.lax.slice(padded, (0, c), (Hp, c + sw))
+                        for c in c0])                     # (nbx, Hp, sw)
+    bins = jnp.stack([jax.lax.slice(strips, (0, rr, 0), (nbx, rr + sh, sw))
+                      for rr in r0])                # (nby, nbx, sh, sw)
+    bins = bins.reshape(nbins, sh, sw)
+    c0b = jnp.asarray(c0, jnp.int32)[None, :].repeat(nby, 0).reshape(
+        nbins, 1)
+    r0b = jnp.asarray(r0, jnp.int32)[:, None].repeat(nbx, 1).reshape(
+        nbins, 1)
+    off = jnp.arange(d, dtype=jnp.int32)
+    xl = jnp.clip(x[:n].reshape(nbins, k) - c0b, 0, sw - d)
+    yl = jnp.clip(y[:n].reshape(nbins, k) - r0b, 0, sh - d)
+    cidx = (xl[:, :, None] + off).reshape(nbins, k * d)
+    ridx = (yl[:, :, None] + off).reshape(nbins, k * d)
+    batch_dot = lambda a, b, **kw: jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))), **kw)
+    if i8:
+        hi = jnp.round(bins * (1.0 / 16.0))
+        lo = bins - 16.0 * hi
+        colsel = (jnp.arange(sw)[None, :, None] ==
+                  cidx[:, None, :]).astype(jnp.int8)      # (nbins, sw, k*d)
+        T = (16 * batch_dot(hi.astype(jnp.int8), colsel,
+                            preferred_element_type=jnp.int32)
+             + batch_dot(lo.astype(jnp.int8), colsel,
+                         preferred_element_type=jnp.int32))
+        rowsel = (ridx[:, :, None] ==
+                  jnp.arange(sh)[None, None, :]).astype(jnp.int32)
+        D = batch_dot(rowsel, T, preferred_element_type=jnp.int32)
+        D = D.astype(padded.dtype)
+    else:
+        colsel = (jnp.arange(sw)[None, :, None] ==
+                  cidx[:, None, :]).astype(padded.dtype)  # (nbins, sw, k*d)
+        T = batch_dot(bins, colsel,
+                      precision=jax.lax.Precision.HIGH)   # (nbins, sh, k*d)
+        rowsel = (ridx[:, :, None] ==
+                  jnp.arange(sh)[None, None, :]).astype(padded.dtype)
+        D = batch_dot(rowsel, T,
+                      precision=jax.lax.Precision.HIGH)   # (nbins, kd, kd)
+    Dr = D.reshape(nbins, k, d, k, d)
+    desc = jnp.stack([Dr[:, j, :, j, :] for j in range(k)], axis=1)
+    return desc.reshape(n, d * d)
+
+
+def _banded_ok(cfg: DetectorConfig, H, W):
+    """Banded gather applies when the bin windows fit the padded image
+    and the slot budget follows the detect_harris_binned layout."""
+    r = cfg.descriptor_radius
+    d = 2 * r + 1
+    sx, sy = W // cfg.nbinx, H // cfg.nbiny
+    k = cfg.corners_per_bin
+    n = cfg.nbinx * cfg.nbiny * k
+    return (k > 0 and n <= cfg.num_slots and sx >= 1 and sy >= 1
+            and W + 2 * r >= sx + d + 1 and H + 2 * r >= sy + d + 1)
+
+
 def extract_descriptors(img, kp: Keypoints,
-                        cfg: DetectorConfig = DetectorConfig()):
+                        cfg: DetectorConfig = DetectorConfig(),
+                        binned_layout: bool = False):
     """Sobel-patch descriptors: raw (2r+1)^2 window of the horizontal
     Sobel response around each keypoint, zeros outside the image
     (src/viso.cpp:1004-1024); L1 is the match metric (src/viso.cpp:989-992).
@@ -288,6 +380,14 @@ def extract_descriptors(img, kp: Keypoints,
     Returns (num_slots, descriptor_dim_padded) float; invalid slots are 0.
     The tail pad (121 -> 128) is zero so L1/L2 distances are unaffected but
     rows tile the 128-wide VPU lanes exactly.
+
+    ``binned_layout=True`` asserts the keypoints follow the
+    detect_harris_binned slot layout (slot group b = biny*nbinx + binx
+    holds bin b's k corners, +- the subpixel refinement's <=0.5 px) and
+    switches both one-hot modes to the bin-banded gather
+    (``_banded_gather``) — bitwise-identical descriptors at ~1/16 the
+    MXU work.  Only pass it for keypoints that actually came from the
+    binned detector of the SAME cfg.
     """
     img = jnp.asarray(img)
     r = cfg.descriptor_radius
@@ -302,7 +402,13 @@ def extract_descriptors(img, kp: Keypoints,
     x = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, Wp - d)
     y = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, Hp - d)
     off = jnp.arange(d, dtype=jnp.int32)
-    if cfg.descriptor_gather == "onehot_i8":
+    H, W = img.shape
+    if (binned_layout and cfg.descriptor_gather in ("onehot", "onehot_i8")
+            and _banded_ok(cfg, H, W)):
+        desc = _banded_gather(padded, x, y, cfg, H, W,
+                              i8=cfg.descriptor_gather == "onehot_i8")
+        desc = jnp.pad(desc, ((0, N - desc.shape[0]), (0, 0)))
+    elif cfg.descriptor_gather == "onehot_i8":
         # The column-selection matmul in the MXU's INTEGER mode (4x the
         # bf16-input rate on v5e, and the 0/1 selector shrinks 4x to
         # int8).  EXACT — hence bitwise identical to 'take'/'onehot' —
@@ -390,21 +496,18 @@ def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig(),
     # (ksize-3 Sobel of [0,255] lies in [-1020,1020]); uint16/int32
     # sources overflow hi=round(p/16) past int8 and would wrap silently
     # (ADVICE r3: measured descriptor error up to 239280 on uint16).
-    u8_source = img.dtype == jnp.uint8
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)
-    if (cfg.descriptor_gather == "onehot" and u8_source
-            and cfg.sharpen_sigma == 0 and cfg.pyramid_levels <= 1):
-        # 8-bit image and no fractional preprocessing ahead: the
-        # int8-MXU gather is EXACT here (see extract_descriptors),
-        # so upgrade to it — bitwise-identical descriptors from 2
-        # int8-mode MXU passes instead of 3 bf16 passes, with a 4x
-        # smaller selector.  Sharpening (fractional Gaussian taps) and
-        # pyramid downscales break integrality, so those paths keep the
-        # bf16x3 'onehot' (exact for any f32).
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, descriptor_gather="onehot_i8")
+    # NOTE (round 4): the round-3 auto-upgrade of uint8 sources to
+    # 'onehot_i8' is RETIRED.  It paid when the selection matmuls were
+    # image-sized (int8 MXU rate vs bf16x3: 415.9 vs 400 fps chunked,
+    # benchmarks/tpu_r3.json); the bin-banded gather shrank those
+    # matmuls ~16x, after which the i8 path's extra elementwise work
+    # (hi/lo plane split + int32 recombine) outweighs its MXU saving —
+    # measured (benchmarks/stage_profile.py, round-4 tunnel):
+    # banded f32-HIGH 0.342 ms/pair vs banded i8 0.378, full step
+    # 0.950 vs 0.990.  'onehot_i8' stays available as an explicit
+    # config choice; both remain bitwise-identical to 'take' (tested).
     if cfg.sharpen_sigma > 0:
         sharp = unsharp_mask(img, cfg.sharpen_sigma, cfg.sharpen_amount)
         if cfg.sharpen_auto:
@@ -429,5 +532,7 @@ def detect_and_describe(img, cfg: DetectorConfig = DetectorConfig(),
         resp = harris_response(img, cfg.block_size, cfg.aperture,
                                cfg.harris_k)
         kp = subpixel_refine(resp, kp)
-    desc = extract_descriptors(img, kp, cfg)
+    # kp comes straight from detect_harris_binned (subpixel shifts
+    # <= 0.5 px, inside the banded windows' apron) -> banded gather
+    desc = extract_descriptors(img, kp, cfg, binned_layout=True)
     return kp, desc

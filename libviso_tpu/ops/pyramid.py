@@ -140,7 +140,9 @@ def detect_and_describe_multiscale(img, cfg: DetectorConfig,
             resp_l = harris_response(im_l, cfg.block_size, cfg.aperture,
                                      cfg.harris_k)
             kp_l = subpixel_refine(resp_l, kp_l)
-        d_l = extract_descriptors(im_l, kp_l, cfg_l)
+        # kp_l comes straight from this level's binned detector
+        # (subpixel drift <= 0.5 px) -> banded gather applies
+        d_l = extract_descriptors(im_l, kp_l, cfg_l, binned_layout=True)
         # map to level-0 coordinates: pixel centers align at x0 = x*2^l
         # + (2^l - 1)/2 for average pooling
         scale = 2.0 ** l

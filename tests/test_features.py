@@ -173,6 +173,38 @@ def test_descriptor_gather_onehot_bitexact():
     np.testing.assert_array_equal(np.asarray(d_onehot), np.asarray(d_take))
 
 
+@pytest.mark.parametrize("subpixel", [False, True])
+@pytest.mark.parametrize("gather", ["onehot", "onehot_i8"])
+def test_descriptor_gather_banded_bitexact(gather, subpixel):
+    """The bin-banded gather (binned_layout=True — both one-hot modes)
+    must be bitwise identical to the flat gather on real detector
+    output, including subpixel-refined keypoints (whose <=0.5 px drift
+    the banded windows' +-1 apron covers) and invalid/pad slots."""
+    import dataclasses
+
+    from libviso_tpu.config import DetectorConfig
+    from libviso_tpu.ops.features import detect_harris_binned, \
+        extract_descriptors
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.integers(0, 256, (160, 416)), jnp.float32)
+    # num_slots > n: exercises the zero-padded tail slots too
+    cfg = DetectorConfig(max_features=231, nbinx=7, nbiny=3, num_slots=256,
+                         descriptor_gather=gather)
+    kp = detect_harris_binned(img, cfg)
+    if subpixel:
+        from libviso_tpu.ops.features import harris_response
+        from libviso_tpu.ops.pyramid import subpixel_refine
+
+        resp = harris_response(img, cfg.block_size, cfg.aperture,
+                               cfg.harris_k)
+        kp = subpixel_refine(resp, kp)
+    d_banded = extract_descriptors(img, kp, cfg, binned_layout=True)
+    d_take = extract_descriptors(
+        img, kp, dataclasses.replace(cfg, descriptor_gather="take"))
+    np.testing.assert_array_equal(np.asarray(d_banded), np.asarray(d_take))
+
+
 def test_unsharp_mask_matches_scipy(rng):
     """unsharp_mask must reproduce the host formula it was tuned under
     (scipy gaussian_filter, truncate=4 — docs/realism.md measured the
@@ -277,8 +309,10 @@ def test_descriptor_gather_onehot_i8_bitexact():
     """The int8-MXU patch gather must be bitwise identical to the flat
     gather for integer-valued images (ksize-3 Sobel of [0,255] integers
     lies in [-1020,1020]; the 16*hi+lo int8 split reconstructs it
-    exactly in int32), and detect_and_describe must auto-select it for
-    uint8 inputs WITHOUT changing any output."""
+    exactly in int32), and detect_and_describe must produce identical
+    output for uint8 and f32 copies of the same image (the round-3
+    auto-upgrade to i8 is retired — banding made f32-HIGH faster — but
+    the dtype-insensitivity contract stands)."""
     import dataclasses
 
     from libviso_tpu.ops.features import (detect_and_describe,
