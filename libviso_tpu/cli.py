@@ -234,6 +234,7 @@ def _cmd_kitti(args):
             min_matches=args.loop_min_matches,
             min_inliers=args.loop_min_inliers,
             robust=args.loop_robust,
+            eviction=args.loop_eviction,
             seed=args.seed, backend=args.backend,
             checkpoint=lc_ckpt,
             fingerprint_scope=f"{args.seq}:{args.begin}:{args.end}",
@@ -630,6 +631,12 @@ def main(argv=None):
     k.add_argument("--loop-robust", default="cauchy",
                    choices=["cauchy", "huber", "none"],
                    help="pose-graph robust kernel on loop edges")
+    k.add_argument("--loop-eviction", default="spatial",
+                   choices=["spatial", "fifo"],
+                   help="full-keyframe-store policy: 'spatial' keeps a "
+                        "trajectory coverage (loops longer than the "
+                        "store still close); 'fifo' ring-overwrites "
+                        "oldest-first")
     k.add_argument("--save-debug", action="store_true",
                    help="write per-frame debug artifacts under "
                         "results/.../dbg (reference param.save_debug)")

@@ -466,19 +466,22 @@ def generate_plaza_sequence(num_frames=40, seed=0, width=416, height=160,
                             f=360.0, base=0.54, radius=10.0,
                             plaza_radius=18.0,
                             imaging: Optional[Imaging] = None,
-                            px_per_m=30.0) -> SyntheticSequence:
+                            px_per_m=30.0,
+                            circuits: int = 1) -> SyntheticSequence:
     """Render a closed-circuit drive around a plaza (loop-closure
     oracle): constant yaw + chord steps trace a circle of ``radius``
     inside a facade perimeter at ``plaza_radius``.  Frame num_frames-1
     returns to (and re-views) frame 0's pose heading, so revisit
-    detection faces the same facades under accumulated VO drift."""
+    detection faces the same facades under accumulated VO drift.
+    ``circuits > 1`` laps the same circle repeatedly (multi-revisit
+    battery: every post-lap-1 keyframe can close against lap 1)."""
     rng = np.random.default_rng(seed)
     cu, cv = width / 2.0, height / 2.0
     P1 = np.array([[f, 0, cu, 0], [0, f, cv, 0], [0, 0, 1, 0]])
     P2 = P1.copy()
     P2[0, 3] = -f * base
 
-    yaw = 2 * np.pi / (num_frames - 1)
+    yaw = 2 * np.pi * circuits / (num_frames - 1)
     chord = 2 * radius * np.sin(yaw / 2)
     cam_steps = np.zeros((num_frames, 6))
     cam_steps[1:] = [0.0, yaw, 0.0, 0.0, 0.0, chord]
