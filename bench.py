@@ -18,6 +18,12 @@ engine.  --upload switches to the batched mode that re-ships uint8 frames
 every step for an end-to-end-including-transfer number.
 
 Flags:
+  --mono           monocular SfM mode: per-frame 5-point (or --mono-8pt)
+                   pipeline, metric "mono_sfm_fps", vs_baseline against
+                   the MEASURED reference calib_sfm (13.97 fps,
+                   benchmarks/reference_baseline/run_mono_baseline.py —
+                   the reference's loop stops BEFORE pose recovery;
+                   ours completes it)
   --chunk=K        frames per dispatch (default 4; 1 = per-frame latency
                    mode, bit-identical outputs either way)
   --streams=S      multi-stream serving mode: S independent sequences
@@ -52,6 +58,11 @@ import time
 import numpy as np
 
 BASELINE_FPS = 5.29  # measured: benchmarks/reference_baseline/README.md
+# measured: run_mono_baseline.py — the reference calib_sfm loop
+# (detect+match+findEssentialMat+rematch; it abandons reconstruction at
+# viso.cpp:1393-1396) on the same 1241x376 synthetic frames, debug dumps
+# off: 0.0716 s/frame.
+MONO_BASELINE_FPS = 13.97
 
 
 def _flag(name, default):
@@ -88,6 +99,66 @@ def _start_watchdog():
     return t
 
 
+def _run_mono(reps, chunk, method, backend, watchdog):
+    """Monocular SfM throughput: chunked streaming of the per-frame mono
+    step (detect -> match -> 5pt/8pt essential RANSAC -> epipolar
+    re-match -> recoverPose -> scale propagation) on KITTI-sized frames.
+    Same 5-window-median methodology as the stereo modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from libviso_tpu.config import PipelineConfig
+    from libviso_tpu.pipeline.mono import build_mono_chunk, empty_mono_state
+    from libviso_tpu.synthetic import generate_sequence
+
+    cfg = PipelineConfig.mono()
+    n_frames = max(min(reps, 60), 10, chunk)
+    seq = generate_sequence(num_frames=n_frames, num_points=900, seed=0,
+                            width=1241, height=376, f=718.856,
+                            base=0.5371657, speed=0.8)
+    K = np.array([[718.856, 0.0, 620.5], [0.0, 718.856, 188.0],
+                  [0.0, 0.0, 1.0]])
+    frames = [jnp.asarray(l.astype(np.uint8)) for l, _ in seq.frames]
+    key = jax.random.PRNGKey(0)
+    cstep = jax.jit(build_mono_chunk(K, cfg, chunk, backend=backend,
+                                     method=method))
+    n_groups = len(frames) // chunk
+    g_per_w = max(1, reps // chunk)
+    stacks = [jnp.stack([frames[g * chunk + i] for i in range(chunk)])
+              for g in range(n_groups)]
+
+    def keys_for(base):
+        return jnp.stack([jax.random.fold_in(key, base + i)
+                          for i in range(chunk)])
+
+    kstacks = [keys_for(100 + w * reps + g * chunk)
+               for w in range(5) for g in range(g_per_w)]
+    jax.block_until_ready(kstacks[-1])
+    state = empty_mono_state(cfg)
+    state, out = cstep(state, stacks[0], keys_for(0))
+    jax.block_until_ready(out)
+    window_fps = []
+    for w in range(5):
+        t0 = time.perf_counter()
+        n = 0
+        for g in range(g_per_w):
+            state, out = cstep(state, stacks[g % n_groups],
+                               kstacks[w * g_per_w + g])
+            n += chunk
+        jax.block_until_ready(out)
+        window_fps.append(n / (time.perf_counter() - t0))
+    fps = float(np.median(window_fps))
+    watchdog.cancel()
+    print(json.dumps({
+        "metric": "mono_sfm_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / MONO_BASELINE_FPS, 3),
+        "value_best_window": round(max(window_fps), 3),
+        "mode": f"mono_{method}_chunk{chunk}",
+    }))
+
+
 def main():
     watchdog = _start_watchdog()
     import jax
@@ -104,6 +175,11 @@ def main():
     hyp = _flag("hyp", None)
     window = int(_flag("window", "8"))
     reps = int(_flag("reps", "30"))
+    if "--mono" in sys.argv:
+        _run_mono(reps, int(_flag("chunk", "4")),
+                  "8pt" if "--mono-8pt" in sys.argv else "5pt",
+                  backend, watchdog)
+        return
     # default chunk=4: K frames per dispatch via lax.scan of the SAME
     # per-frame step — outputs bit-identical to K=1 (tested), but the
     # tunnel's ~27 ms per-dispatch RPC amortizes over K frames.  Chunked

@@ -62,6 +62,36 @@ open(p, "w").write(s)
 print("patched")
 PY
 
+python3 - "$OUT" <<'PY'
+import sys
+out = sys.argv[1]
+# --- calib_sfm (the mono driver, VERDICT r3 missing #4) ---
+p = f"{out}/src/calib_sfm.cpp"
+s = open(p).read()
+# like kitti.cpp: the boost::log namespace aliases reference sink types
+# the shim does not model; the only use (init_log) is already #if 0
+for line in ("namespace logging = boost::log;\n",
+             "namespace src = boost::log::sources;\n",
+             "namespace sinks = boost::log::sinks;\n",
+             "namespace keywords = boost::log::keywords;\n"):
+    s = s.replace(line, "")
+open(p, "w").write(s)
+
+# calibratedSFM writes debug JPEGs unconditionally on its hot loop
+# (viso.cpp:1362,1369,1391-1392) — disable for timing parity with the
+# stereo baseline (which runs save_debug(false)).
+p = f"{out}/src/viso.cpp"
+s = open(p).read()
+s = s.replace('save1(im1, kp1, (boost::format("kp_%03d.jpg")',
+              '//save1(im1, kp1, (boost::format("kp_%03d.jpg")')
+s = s.replace('save2blend(im1, im1, kp1, kp1_prev, match, (boost::format',
+              '//save2blend(im1, im1, kp1, kp1_prev, match, (boost::format')
+s = s.replace("""save2blend(im1, im1_prev, kp1, kp1_prev, match,
+                   (boost::format("match_%d.jpg")%iter_num).str().c_str(), INT_MAX);""",
+              """//save2blend disabled for the timing baseline""")
+print("patched calib_sfm")
+PY
+
 # -march=x86-64-v3: Eigen's AVX512-FP16 path miscompiles under -march=native here
 g++ -O3 -march=x86-64-v3 -std=c++17 -I"$OUT/shim" -I"$EIG" \
     $(pkg-config --cflags opencv4) \
@@ -69,3 +99,10 @@ g++ -O3 -march=x86-64-v3 -std=c++17 -I"$OUT/shim" -I"$EIG" \
     "$OUT"/src/estimation.cpp "$OUT"/src/kitti.cpp \
     -o "$OUT/kitti" $(pkg-config --libs opencv4)
 echo "built $OUT/kitti"
+
+g++ -O3 -march=x86-64-v3 -std=c++17 -I"$OUT/shim" -I"$EIG" \
+    $(pkg-config --cflags opencv4) \
+    "$OUT"/src/viso.cpp "$OUT"/src/mvg.cpp "$OUT"/src/misc.cpp \
+    "$OUT"/src/estimation.cpp "$OUT"/src/calib_sfm.cpp \
+    -o "$OUT/calib_sfm" $(pkg-config --libs opencv4)
+echo "built $OUT/calib_sfm"

@@ -1,0 +1,81 @@
+"""Measure the reference MONO driver (calib_sfm) on synthetic frames.
+
+VERDICT r3 missing #4: the stereo baseline was built and measured
+(5.29 fps); this does the same for `/root/reference/src/calib_sfm.cpp`
+(built by build_reference.sh into /tmp/refbuild/calib_sfm).  The
+reference's mono loop detects + describes + short-radius matches +
+findEssentialMat + F-gated re-matches, then ABANDONS the reconstruction
+(viso.cpp:1393-1396: P1/P2 set to identity and never used — no
+recoverPose, no output poses), so the only measurable quantity is its
+"avg time per iteration" line, which is exactly the per-frame compute
+our mono step also performs BEFORE the parts the reference lacks.
+
+    python benchmarks/reference_baseline/run_mono_baseline.py \
+        [--frames=40] [--width=1241] [--height=376]
+
+Prints one JSON line {mono_ref_s_per_frame, fps} to stdout.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+
+def _flag(name, default):
+    pref = f"--{name}="
+    for a in sys.argv[1:]:
+        if a.startswith(pref):
+            return type(default)(a[len(pref):])
+    return default
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from PIL import Image
+
+    from libviso_tpu.synthetic import generate_sequence
+
+    frames = _flag("frames", 40)
+    width = _flag("width", 1241)
+    height = _flag("height", 376)
+    binary = _flag("binary", "/tmp/refbuild/calib_sfm")
+    home = _flag("home", "/tmp/cbt_home")
+
+    seq = generate_sequence(num_frames=frames, num_points=900, seed=0,
+                            width=width, height=height, f=718.856,
+                            base=0.5371657, speed=0.8)
+    os.makedirs(os.path.join(home, "results"), exist_ok=True)
+    f = 718.856
+    with open(os.path.join(home, "calib.txt"), "w") as fh:
+        fh.write(f"K: {f} 0 {width / 2.0} 0 {f} {height / 2.0} 0 0 1\n")
+    for i, (left, _right) in enumerate(seq.frames):
+        Image.fromarray(np.asarray(left).astype(np.uint8)).save(
+            os.path.join(home, f"img-{i + 1:04d}.jpg"), quality=95)
+
+    env = dict(os.environ, CBT_HOME=home)
+    out = subprocess.run([binary], env=env, capture_output=True,
+                         text=True, timeout=1800)
+    m = re.search(r"avg time per iteration \[s\]:\s*([0-9.eE+-]+)",
+                  out.stderr + out.stdout)
+    if not m:
+        print(out.stderr[-2000:], file=sys.stderr)
+        sys.exit("calib_sfm produced no timing line")
+    sec = float(m.group(1))
+    print(json.dumps({"mono_ref_s_per_frame": sec,
+                      "mono_ref_fps": 1.0 / sec,
+                      "frames": frames, "width": width,
+                      "height": height}))
+
+
+if __name__ == "__main__":
+    main()

@@ -376,6 +376,34 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
     return step
 
 
+def build_mono_chunk(K, cfg: PipelineConfig, chunk: int,
+                     mono: MonoConfig = None, backend: str = "xla",
+                     method: str = None):
+    """``chunk`` consecutive mono steps as ONE dispatch (`lax.scan` of
+    the per-frame step) — the mono analog of
+    pipeline/stereo.py::build_frame_chunk.  Per-frame semantics are
+    untouched (the scan body IS build_mono_step with the state threaded
+    through), so outputs are bitwise identical to ``chunk`` separate
+    step calls; only the dispatch granularity changes.
+
+    Returns chunk_step(state, ims, keys) -> (state, MonoOutput stacked
+    over the leading chunk axis); ims is (chunk, H, W), keys a
+    (chunk,)-stacked PRNG key array.
+    """
+    kw = {} if method is None else {"method": method}
+    step = build_mono_step(K, cfg, mono=mono, backend=backend, **kw)
+
+    def chunk_step(state: MonoState, ims, keys):
+        def body(st, xs):
+            im, k = xs
+            st, out = step(st, im, k)
+            return st, out
+
+        return jax.lax.scan(body, state, (ims, keys))
+
+    return chunk_step
+
+
 @dataclasses.dataclass
 class MonoResult:
     poses: np.ndarray     # (T, 4, 4) up-to-one-global-scale (with
