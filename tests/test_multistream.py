@@ -247,3 +247,60 @@ def test_multistream_sharded_over_mesh_matches_unsharded(tiny_cfg):
                                       np.asarray(o_pl.num_inliers))
         np.testing.assert_allclose(np.asarray(o_sh.tr),
                                    np.asarray(o_pl.tr), rtol=0, atol=5e-6)
+
+
+def test_stream_pool_replacement_no_recompile(tiny_cfg):
+    """VERDICT r3 #9 — the serving-fleet lifecycle: a finished slot is
+    re-seeded with a NEW sequence (different scene, calibration, seed)
+    without recompiling, and every stream — original AND replacement —
+    reproduces its solo run under the multistream contract (discrete
+    stats exact, motions within f32 batching noise)."""
+    import jax
+
+    from libviso_tpu.pipeline.multistream import StreamPool
+
+    seq_a = generate_sequence(num_frames=6, num_points=300, width=160,
+                              height=96, f=120.0, seed=3)
+    seq_b = generate_sequence(num_frames=3, num_points=260, width=160,
+                              height=96, f=140.0, seed=11, speed=0.6)
+    seq_c = generate_sequence(num_frames=4, num_points=280, width=160,
+                              height=96, f=130.0, seed=21, speed=0.7)
+
+    solos = {
+        "a": run_stereo_sequence(seq_a.frames, seq_a.P1, seq_a.P2,
+                                 tiny_cfg, seed=0),
+        "b": run_stereo_sequence(seq_b.frames, seq_b.P1, seq_b.P2,
+                                 tiny_cfg, seed=1),
+        "c": run_stereo_sequence(seq_c.frames, seq_c.P1, seq_c.P2,
+                                 tiny_cfg, seed=2),
+    }
+
+    pool = StreamPool(tiny_cfg, slots=2)
+    pool.attach(0, seq_a.frames, seq_a.P1, seq_a.P2, seed=0)
+    pool.attach(1, seq_b.frames, seq_b.P1, seq_b.P2, seed=1)
+    results = {}
+    # drive until b finishes, replace it with c IN THE SAME SLOT
+    while 1 not in pool.finished():
+        pool.step()
+    compiles_before = pool._step._cache_size()
+    results["b"] = pool.detach(1)
+    pool.attach(1, seq_c.frames, seq_c.P1, seq_c.P2, seed=2)
+    while pool.active():
+        pool.step()
+    # the replacement reused the compiled program: no new jit entries
+    assert pool._step._cache_size() == compiles_before
+    results["a"] = pool.detach(0)
+    results["c"] = pool.detach(1)
+
+    for name in ("a", "b", "c"):
+        solo, got = solos[name], results[name]
+        np.testing.assert_array_equal(got.frame_ok, solo.frame_ok)
+        assert len(got.stats) == len(solo.stats)
+        for gs, ss in zip(got.stats, solo.stats):
+            for k in ("frame", "ok", "num_kp1", "num_lr", "num_circle",
+                      "num_inliers"):
+                assert gs[k] == ss[k], (name, k, gs, ss)
+        np.testing.assert_allclose(got.motions, solo.motions,
+                                   rtol=0, atol=5e-6)
+        np.testing.assert_allclose(got.poses, solo.poses,
+                                   rtol=0, atol=5e-5)
