@@ -55,6 +55,13 @@ def main():
                                      lr_gain_mismatch=0.04,
                                      noise_sigma=3.0, blur_sigma=0.7,
                                      num_occluders=3, quantize=True)),
+        # round-4 imaging-model extensions (VERDICT r3 #7)
+        "overexp1.6": dict(imaging=Imaging(overexposure_gain=1.6)),
+        "overexp2.5": dict(imaging=Imaging(overexposure_gain=2.5)),
+        "overexp4": dict(imaging=Imaging(overexposure_gain=4.0)),
+        "rs0.3": dict(imaging=Imaging(rs_fraction=0.3)),
+        "rs0.6": dict(imaging=Imaging(rs_fraction=0.6)),
+        "rs1.0": dict(imaging=Imaging(rs_fraction=1.0)),
     }
 
     summary = {}

@@ -261,6 +261,17 @@ class RansacConfig:
     # unregularized 6x6 system is near-singular along the weakly observed
     # translation direction and plain GN walks off to km-scale poses.
     gn_lm_lambda: float = 0.0
+    # NOTE — dominant movers (VERDICT r3 #3): a feature-rich object
+    # moving with coherent wrong motion SILENTLY captures the support
+    # once it dominates the frame from the start at low relative speed
+    # (measured envelope: benchmarks/world_mover_sweep.py; postmortem
+    # of the rejected complement-re-solve guard: docs/realism.md
+    # "Dominant movers" — the capture regime is geometrically
+    # two-interpretation-ambiguous and arbitration cannot be anchored).
+    # The shipped defense is the `motion_jump` health stat (pipeline
+    # drivers) — locked runs flip between motion modes (jump 0.4-0.6)
+    # while clean runs stay < 0.2.  The reference fails identically
+    # (its RANSAC also follows the majority, viso.cpp:1543-1580).
 
     def __post_init__(self):
         if self.hypothesis_method not in ("gn", "procrustes"):

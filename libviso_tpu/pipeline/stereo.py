@@ -516,7 +516,20 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
     def _flush():
         for ft, out in pending:
             ok = bool(out.ok) and ft != 0  # reference skips frame 0
-            motions.append(np.asarray(out.tr))
+            tr = np.asarray(out.tr)
+            # motion jump vs the previous accepted motion (weighted
+            # 6-dof, rotations x10): the dominant-mover health signal —
+            # a contested RANSAC vote flips between motion modes frame
+            # to frame (measured jumps 0.4-0.5 in locked truck regimes
+            # vs ~0.05 smooth driving; docs/realism.md "Dominant
+            # movers").  Host-side only: no graph change, no sync cost
+            # beyond the flush's own.
+            jump = 0.0
+            if ok and motions and oks and oks[-1]:
+                d = (tr - motions[-1]) * np.array(
+                    [10.0, 10.0, 10.0, 1.0, 1.0, 1.0])
+                jump = float(np.linalg.norm(d))
+            motions.append(tr)
             oks.append(ok)
             stats.append({
                 "frame": ft,
@@ -527,6 +540,7 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
                 "num_inliers": int(out.num_inliers),
                 "reproj_rms": float(out.rms),
                 "sharpness": float(out.sharpness),
+                "motion_jump": jump,
             })
         pending.clear()
 

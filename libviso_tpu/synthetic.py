@@ -22,6 +22,32 @@ import numpy as np
 from libviso_tpu.geometry.se3 import pose_vector_to_matrix
 
 
+def _pose_matrix_np(tr):
+    """(..., 6) motion vectors -> (..., 4, 4) transforms (tr2mat layout,
+    src/viso.cpp:109-133).  Pure numpy: host-side scene generation must
+    not round-trip through the device backend (a jax call here costs
+    ~45 s of compile through the TPU tunnel for trivial 4x4 products —
+    measured, see synthetic_world.py)."""
+    tr = np.asarray(tr, np.float64)
+    rx, ry, rz = tr[..., 0], tr[..., 1], tr[..., 2]
+    sx, cx = np.sin(rx), np.cos(rx)
+    sy, cy = np.sin(ry), np.cos(ry)
+    sz, cz = np.sin(rz), np.cos(rz)
+    out = np.zeros(tr.shape[:-1] + (4, 4))
+    out[..., 0, 0] = cy * cz
+    out[..., 0, 1] = -cy * sz
+    out[..., 0, 2] = sy
+    out[..., 1, 0] = sx * sy * cz + cx * sz
+    out[..., 1, 1] = -sx * sy * sz + cx * cz
+    out[..., 1, 2] = -sx * cy
+    out[..., 2, 0] = -cx * sy * cz + sx * sz
+    out[..., 2, 1] = cx * sy * sz + sx * cz
+    out[..., 2, 2] = cx * cy
+    out[..., :3, 3] = tr[..., 3:6]
+    out[..., 3, 3] = 1.0
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class Imaging:
     """Post-render imaging/scene perturbation model (VERDICT r1 next #2).
@@ -65,6 +91,22 @@ class Imaging:
     # Quantize to the uint8 grid (real sensors do; the clean oracle keeps
     # float to isolate detector-precision tests from quantization).
     quantize: bool = False
+    # Overexposure: constant multiplicative gain pushing highlights past
+    # full well — the [0,255] clip then flattens them into textureless
+    # saturated regions where corners vanish (clipped highlights,
+    # VERDICT r3 #7).  1.0 = nominal; 2-4 = heavy sun/snow blowout.
+    overexposure_gain: float = 1.0
+    # Rolling shutter row-time skew (VERDICT r3 #7): the bottom image
+    # row is exposed ``rs_fraction`` of one frame time later than the
+    # top row, so each row sees the camera advanced by
+    # rs_fraction * (row/H) of the NEXT frame's motion.  Applied at
+    # RENDER time (per-landmark re-projection in the sprite oracle,
+    # band-interpolated poses in the world renderer) so the geometry is
+    # genuinely skewed, not warped after the fact; gt_poses remain the
+    # start-of-readout poses (the skew is exactly the error source
+    # being measured).  Typical automotive CMOS at KITTI-like rates:
+    # ~0.3-0.6; 0 = global shutter.
+    rs_fraction: float = 0.0
 
 
 def _gaussian_blur(img, sigma):
@@ -362,8 +404,8 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
         if img.blur_sigma > 0:
             im1 = _gaussian_blur(im1, img.blur_sigma)
             im2 = _gaussian_blur(im2, img.blur_sigma)
-        g1 = np.exp(log_gain[k])
-        g2 = np.exp(log_gain[k] + lr_dgain[k])
+        g1 = np.exp(log_gain[k]) * img.overexposure_gain
+        g2 = np.exp(log_gain[k] + lr_dgain[k]) * img.overexposure_gain
         im1 = g1 * im1 + bias[k]
         im2 = g2 * im2 + bias[k]
         if img.noise_sigma > 0:
@@ -386,6 +428,26 @@ def generate_sequence(num_frames=12, num_points=900, seed=0,
         ul = f * Xc[:, 0] / z + cu
         vl = f * Xc[:, 1] / z + cv
         ur = f * (Xc[:, 0] - base) / z + cu
+
+        if img.rs_fraction > 0 and num_frames > 1:
+            # Rolling shutter (Imaging.rs_fraction): a landmark imaged
+            # on row v sees the camera advanced by rs*(v/H) of the NEXT
+            # frame's motion.  The row depends on the (shifted)
+            # projection, so one fixed-point iteration: project at the
+            # start-of-readout pose (above), derive per-landmark row
+            # times, re-project under the per-landmark advanced pose.
+            step_next = cam_steps[min(k + 1, num_frames - 1)]
+            a = (img.rs_fraction * np.clip(vl, 0.0, height - 1.0)
+                 / max(height - 1.0, 1.0))
+            Mi = _pose_matrix_np(a[:, None] * step_next[None, :])
+            R, t = Mi[:, :3, :3], Mi[:, :3, 3]
+            # camera_i-from-world = inv(Mi) @ W: Xc_i = R^T (Xc - t)
+            Xc = np.einsum("nji,nj->ni", R, Xc - t)
+            z = Xc[:, 2]
+            vis = z > 1.0
+            ul = f * Xc[:, 0] / z + cu
+            vl = f * Xc[:, 1] / z + cv
+            ur = f * (Xc[:, 0] - base) / z + cu
 
         im1 = rng.normal(16.0, 2.0, size=(height, width)).astype(np.float32)
         im2 = rng.normal(16.0, 2.0, size=(height, width)).astype(np.float32)

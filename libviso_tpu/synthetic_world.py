@@ -46,26 +46,9 @@ from libviso_tpu.synthetic import Imaging, SyntheticSequence
 # trivial 4x4 products (measured) — so it stays numpy end to end.
 
 
-def _pose_matrix_np(tr):
-    """(..., 6) motion vectors -> (..., 4, 4) transforms (tr2mat layout)."""
-    tr = np.asarray(tr, np.float64)
-    rx, ry, rz = tr[..., 0], tr[..., 1], tr[..., 2]
-    sx, cx = np.sin(rx), np.cos(rx)
-    sy, cy = np.sin(ry), np.cos(ry)
-    sz, cz = np.sin(rz), np.cos(rz)
-    out = np.zeros(tr.shape[:-1] + (4, 4))
-    out[..., 0, 0] = cy * cz
-    out[..., 0, 1] = -cy * sz
-    out[..., 0, 2] = sy
-    out[..., 1, 0] = sx * sy * cz + cx * sz
-    out[..., 1, 1] = -sx * sy * sz + cx * cz
-    out[..., 1, 2] = -sx * cy
-    out[..., 2, 0] = -cx * sy * cz + sx * sz
-    out[..., 2, 1] = cx * sy * sz + sx * cz
-    out[..., 2, 2] = cx * cy
-    out[..., :3, 3] = tr[..., 3:6]
-    out[..., 3, 3] = 1.0
-    return out
+from libviso_tpu.synthetic import _pose_matrix_np  # noqa: E402  (shared
+#   host-side pose helper; lives in synthetic.py since the sprite
+#   renderer's rolling-shutter path needs it too)
 
 
 def _matrix_to_pose_np(T):
@@ -211,6 +194,41 @@ class Plane:
     def normal(self):
         n = np.cross(self.eu, self.ev)
         return n / np.linalg.norm(n)
+
+
+@dataclasses.dataclass
+class Mover:
+    """A dynamic textured plane: rendered at ``plane.origin + k*velocity``
+    on frame k (VERDICT r3 #3 — the dominant-mover regime).  Feature-rich
+    coherent wrong motion is the classic VO failure on real roads
+    (a truck filling a quarter of the frame); the reference has no
+    defense either (its RANSAC simply follows the majority support,
+    src/viso.cpp:1543-1580)."""
+
+    plane: Plane
+    velocity: np.ndarray   # (3,) world displacement per frame [m]
+
+
+def make_truck_mover(rng, length=8.0, height=3.0, x=-3.2, z0=7.0,
+                     ground_y=1.65, velocity=(0.0, 0.0, 0.55),
+                     px_per_m=40.0) -> Mover:
+    """A truck-sized facade-textured side panel in the adjacent lane,
+    moving parallel to the road.  With the default camera speed
+    (0.8 m/frame) velocity_z < speed reads as the camera overtaking a
+    slower truck — its features form a large, internally consistent
+    motion cluster that disagrees with the static world."""
+    tex = make_facade_texture(rng, int(height * px_per_m),
+                              int(length * px_per_m))
+    return Mover(
+        plane=Plane(
+            origin=np.array([x, ground_y, z0]),
+            eu=np.array([0.0, 0.0, length]),
+            ev=np.array([0.0, -height, 0.0]),
+            pyr=_mip_pyramid(tex, 6),
+            px_per_m=px_per_m,
+        ),
+        velocity=np.asarray(velocity, np.float64),
+    )
 
 
 def build_street_scene(rng, length=120.0, half_width=9.0,
@@ -429,7 +447,8 @@ def generate_world_sequence(num_frames=8, seed=0, width=620, height=188,
                             trajectory: Optional[np.ndarray] = None,
                             imaging: Optional[Imaging] = None,
                             px_per_m=40.0,
-                            scene_kwargs: Optional[dict] = None
+                            scene_kwargs: Optional[dict] = None,
+                            movers: Optional[List[Mover]] = None
                             ) -> SyntheticSequence:
     """Render a stereo drive through a textured street world.
 
@@ -438,6 +457,8 @@ def generate_world_sequence(num_frames=8, seed=0, width=620, height=188,
     (num_frames, 6) per-frame step list), but the frames are dense
     perspective-correct renders instead of sprite stamps;
     `gt_projections` is None (there are no discrete landmarks).
+    ``movers``: dynamic textured planes rendered at
+    ``origin + k*velocity`` per frame (make_truck_mover).
     """
     rng = np.random.default_rng(seed)
     cu, cv = width / 2.0, height / 2.0
@@ -459,7 +480,8 @@ def generate_world_sequence(num_frames=8, seed=0, width=620, height=188,
         cam_steps = np.asarray(trajectory, np.float64)
         assert cam_steps.shape == (num_frames, 6)
     return _sequence_from_scene(planes, cam_steps, seed, width, height,
-                                f, cu, cv, base, imaging, P1, P2)
+                                f, cu, cv, base, imaging, P1, P2,
+                                movers=movers)
 
 
 def generate_plaza_sequence(num_frames=40, seed=0, width=416, height=160,
@@ -501,9 +523,13 @@ def generate_plaza_sequence(num_frames=40, seed=0, width=416, height=160,
 
 
 def _sequence_from_scene(planes, cam_steps, seed, width, height, f, cu,
-                         cv, base, imaging, P1, P2) -> SyntheticSequence:
+                         cv, base, imaging, P1, P2,
+                         movers: Optional[List[Mover]] = None
+                         ) -> SyntheticSequence:
     """Chain GT poses from per-frame camera steps, render both views per
-    frame, and apply the shared `synthetic.Imaging` post-render model."""
+    frame, and apply the shared `synthetic.Imaging` post-render model.
+    ``movers`` are re-positioned (origin + k*velocity) each frame and
+    z-buffered against the static scene like any other plane."""
     num_frames = len(cam_steps)
     rng = np.random.default_rng((seed, 0xF1E1D))
     M = _pose_matrix_np(cam_steps)
@@ -529,24 +555,56 @@ def _sequence_from_scene(planes, cam_steps, seed, width, height, f, cu,
     lr_dgain = irng.normal(0, img_model.lr_gain_mismatch, num_frames)
 
     frames: List[Tuple[np.ndarray, np.ndarray]] = []
+    n_bands = 8   # rolling-shutter row bands (rs_fraction > 0)
     for k in range(num_frames):
-        Rwc = gt_poses[k][:3, :3]
-        Cl = gt_poses[k][:3, 3]
-        Cr = Cl + Rwc @ np.array([base, 0.0, 0.0])
         sky1 = rng.normal(0.0, 2.0, (height, width)).astype(np.float32)
         sky2 = rng.normal(0.0, 2.0, (height, width)).astype(np.float32)
-        im1 = render_view(planes, Cl, Rwc, f, cu, cv, width, height,
-                          sky_noise=sky1)
-        im2 = render_view(planes, Cr, Rwc, f, cu, cv, width, height,
-                          sky_noise=sky2)
+        frame_planes = planes
+        if movers:
+            frame_planes = planes + [
+                dataclasses.replace(m.plane,
+                                    origin=m.plane.origin + k * m.velocity)
+                for m in movers]
+
+        def _views_at(pose):
+            Rwc = pose[:3, :3]
+            Cl = pose[:3, 3]
+            Cr = Cl + Rwc @ np.array([base, 0.0, 0.0])
+            v1 = render_view(frame_planes, Cl, Rwc, f, cu, cv, width,
+                             height, sky_noise=sky1)
+            v2 = render_view(frame_planes, Cr, Rwc, f, cu, cv, width,
+                             height, sky_noise=sky2)
+            return v1, v2
+
+        if img_model.rs_fraction > 0 and num_frames > 1:
+            # Rolling shutter (Imaging.rs_fraction): render the frame in
+            # n_bands row bands, each from the camera pose advanced by
+            # rs * (band_center/H) of the NEXT frame's motion — genuine
+            # row-time geometry skew, not a post-render warp.  Both
+            # views share row timing (synchronized stereo readout).
+            step_next = cam_steps[min(k + 1, num_frames - 1)]
+            im1 = np.zeros((height, width), np.float32)
+            im2 = np.zeros((height, width), np.float32)
+            for b in range(n_bands):
+                r0 = b * height // n_bands
+                r1 = (b + 1) * height // n_bands
+                alpha = (img_model.rs_fraction
+                         * ((r0 + r1) / 2.0) / max(height - 1, 1))
+                pose_b = gt_poses[k] @ _pose_matrix_np(alpha * step_next)
+                v1, v2 = _views_at(pose_b)
+                im1[r0:r1] = v1[r0:r1]
+                im2[r0:r1] = v2[r0:r1]
+        else:
+            im1, im2 = _views_at(gt_poses[k])
         if imaging is not None:
             if occl is not None:
                 occl.paint(im1, im2, k)
             if img_model.blur_sigma > 0:
                 im1 = _gaussian_blur(im1, img_model.blur_sigma)
                 im2 = _gaussian_blur(im2, img_model.blur_sigma)
-            g1 = np.exp(log_gain[k])
-            g2 = np.exp(log_gain[k] + lr_dgain[k])
+            g1 = np.exp(log_gain[k]) * img_model.overexposure_gain
+            g2 = (np.exp(log_gain[k] + lr_dgain[k])
+                  * img_model.overexposure_gain)
             im1 = g1 * im1 + bias[k]
             im2 = g2 * im2 + bias[k]
             if img_model.noise_sigma > 0:

@@ -158,6 +158,11 @@ REGIMES = {
                                   blur_sigma=0.7, num_occluders=3,
                                   quantize=True)), 0.3, 1),
     "fast": (dict(speed=1.6), 0.8, 2),
+    # round-4 imaging extensions (VERDICT r3 #7): measured 3-seed maxima
+    # 0.118 (62% saturated highlights) and 0.084 (0.6-frame-time rolling
+    # shutter) — both inside the clean band; bounds at ~2x
+    "overexp2.5": (dict(imaging=Imaging(overexposure_gain=2.5)), 0.25, 2),
+    "rs0.6": (dict(imaging=Imaging(rs_fraction=0.6)), 0.25, 1),
 }
 
 
@@ -314,6 +319,57 @@ def test_world_windowed_ba_never_worse(seed, world_cfg):
         # the gate accepts a genuine fix here (measured 0.078 -> 0.029;
         # generous bound to absorb refactors that shift RANSAC draws)
         assert ate_ba < ate_vo * 0.8, (ate_vo, ate_ba)
+
+
+@pytest.mark.slow
+def test_world_dominant_mover_envelope(world_cfg):
+    """VERDICT r3 #3 (docs/realism.md "Dominant movers"): the measured
+    dominant-mover contract — (a) a small adjacent-lane mover (~8%
+    coverage) does not disturb VO; (b) a large slow-relative mover
+    dominant from frame 0 captures the support SILENTLY (all frames
+    report ok, ATE explodes) but the motion_jump health stat fires
+    (mode flipping); (c) a clean drive keeps motion_jump low (the
+    alert threshold separates)."""
+    from libviso_tpu.pipeline.stereo import run_stereo_sequence
+    from libviso_tpu.synthetic_world import make_truck_mover
+    from libviso_tpu.utils.metrics import ate_rmse
+
+    kw = dict(seed=0, width=416, height=160, num_frames=10, speed=0.8,
+              yaw_rate=0.0)
+    clean = generate_world_sequence(**kw)
+    rng = np.random.default_rng((0, 0xBEEF))
+    small = make_truck_mover(rng, length=4.0, height=2.0, x=-3.2,
+                             z0=9.0, velocity=(0.0, 0.0, 0.45 * 0.8))
+    rng = np.random.default_rng((0, 0xBEEF))
+    big = make_truck_mover(rng, length=10.0, height=3.4, x=-2.9,
+                           z0=7.0, velocity=(0.0, 0.0, 0.95 * 0.8))
+    seq_s = generate_world_sequence(movers=[small], **kw)
+    seq_b = generate_world_sequence(movers=[big], **kw)
+
+    res_c = run_stereo_sequence(clean.frames, clean.P1, clean.P2,
+                                world_cfg, seed=0)
+    res_s = run_stereo_sequence(seq_s.frames, seq_s.P1, seq_s.P2,
+                                world_cfg, seed=0)
+    res_b = run_stereo_sequence(seq_b.frames, seq_b.P1, seq_b.P2,
+                                world_cfg, seed=0)
+    jump = lambda r: max(s["motion_jump"] for s in r.stats[1:])
+    supmin = lambda r: min(s["num_inliers"] / max(s["num_circle"], 1)
+                           for s in r.stats[1:])
+    ate = lambda r, s: float(ate_rmse(r.poses, s.gt_poses))
+    # (a) small mover: RANSAC rejects it (measured 0.053 vs 0.049 clean)
+    assert ate(res_s, seq_s) < max(3 * ate(res_c, clean), 0.2)
+    # (b) dominant slow mover: silent capture — every frame still "ok"
+    # (measured ATE 2.15 vs 0.049) ...
+    assert res_b.frame_ok[1:].all()
+    assert ate(res_b, seq_b) > 0.35
+    # ... but the health signals fire: the support-ratio alarm (primary
+    # — < 0.72 on 17/17 locked sweep rows; measured 0.62 here) and the
+    # motion_jump flip detector (measured 0.62 here)
+    assert supmin(res_b) < 0.72, supmin(res_b)
+    assert jump(res_b) > 0.3, jump(res_b)
+    # (c) and stay quiet on the clean drive (measured 0.77 / <= 0.09)
+    assert supmin(res_c) >= 0.72, supmin(res_c)
+    assert jump(res_c) < 0.3, jump(res_c)
 
 
 @pytest.mark.slow
