@@ -61,8 +61,10 @@ BASELINE_FPS = 5.29  # measured: benchmarks/reference_baseline/README.md
 # measured: run_mono_baseline.py — the reference calib_sfm loop
 # (detect+match+findEssentialMat+rematch; it abandons reconstruction at
 # viso.cpp:1393-1396) on the same 1241x376 synthetic frames, debug dumps
-# off: 0.0716 s/frame.
-MONO_BASELINE_FPS = 13.97
+# off: 0.0667 s/frame.  (An earlier 0.0716 measurement accidentally
+# included 3 debug JPEG writes/frame — the dump patch was missing its
+# file write-back; corrected and re-measured.)
+MONO_BASELINE_FPS = 14.98
 
 
 def _flag(name, default):
@@ -99,18 +101,24 @@ def _start_watchdog():
     return t
 
 
-def _run_mono(reps, chunk, method, backend, watchdog):
+def _run_mono(reps, chunk, method, first_pass, hyp, backend, watchdog):
     """Monocular SfM throughput: chunked streaming of the per-frame mono
     step (detect -> match -> 5pt/8pt essential RANSAC -> epipolar
     re-match -> recoverPose -> scale propagation) on KITTI-sized frames.
-    Same 5-window-median methodology as the stereo modes."""
+    Same 5-window-median methodology as the stereo modes.
+    ``--mono-first-pass=8pt`` runs the cheap solver for the re-match
+    gate pass (MonoConfig.first_pass)."""
     import jax
     import jax.numpy as jnp
 
-    from libviso_tpu.config import PipelineConfig
+    from libviso_tpu.config import MonoConfig, PipelineConfig
     from libviso_tpu.pipeline.mono import build_mono_chunk, empty_mono_state
     from libviso_tpu.synthetic import generate_sequence
 
+    mono = MonoConfig(method=method,
+                      **({"first_pass": first_pass} if first_pass
+                         else {}),
+                      **({"num_hypotheses": hyp} if hyp else {}))
     cfg = PipelineConfig.mono()
     n_frames = max(min(reps, 60), 10, chunk)
     seq = generate_sequence(num_frames=n_frames, num_points=900, seed=0,
@@ -120,8 +128,8 @@ def _run_mono(reps, chunk, method, backend, watchdog):
                   [0.0, 0.0, 1.0]])
     frames = [jnp.asarray(l.astype(np.uint8)) for l, _ in seq.frames]
     key = jax.random.PRNGKey(0)
-    cstep = jax.jit(build_mono_chunk(K, cfg, chunk, backend=backend,
-                                     method=method))
+    cstep = jax.jit(build_mono_chunk(K, cfg, chunk, mono=mono,
+                                     backend=backend))
     n_groups = len(frames) // chunk
     g_per_w = max(1, reps // chunk)
     stacks = [jnp.stack([frames[g * chunk + i] for i in range(chunk)])
@@ -155,7 +163,9 @@ def _run_mono(reps, chunk, method, backend, watchdog):
         "unit": "frames/s",
         "vs_baseline": round(fps / MONO_BASELINE_FPS, 3),
         "value_best_window": round(max(window_fps), 3),
-        "mode": f"mono_{method}_chunk{chunk}",
+        "mode": (f"mono_{method}_chunk{chunk}"
+                 + (f"_fp{first_pass}" if first_pass else "")
+                 + (f"_h{hyp}" if hyp else "")),
     }))
 
 
@@ -178,7 +188,8 @@ def main():
     if "--mono" in sys.argv:
         _run_mono(reps, int(_flag("chunk", "4")),
                   "8pt" if "--mono-8pt" in sys.argv else "5pt",
-                  backend, watchdog)
+                  _flag("mono-first-pass", None),
+                  int(_flag("mono-hyp", "0")), backend, watchdog)
         return
     # default chunk=4: K frames per dispatch via lax.scan of the SAME
     # per-frame step — outputs bit-identical to K=1 (tested), but the

@@ -89,6 +89,8 @@ s = s.replace('save2blend(im1, im1, kp1, kp1_prev, match, (boost::format',
 s = s.replace("""save2blend(im1, im1_prev, kp1, kp1_prev, match,
                    (boost::format("match_%d.jpg")%iter_num).str().c_str(), INT_MAX);""",
               """//save2blend disabled for the timing baseline""")
+open(p, "w").write(s)
+assert "//save1(im1, kp1" in open(p).read(), "mono debug-dump patch missed"
 print("patched calib_sfm")
 PY
 

@@ -63,8 +63,10 @@ def main():
             os.path.join(home, f"img-{i + 1:04d}.jpg"), quality=95)
 
     env = dict(os.environ, CBT_HOME=home)
+    # cwd=home: any debug artifact the reference writes relative to its
+    # working directory stays in the scratch dataset dir, not the repo
     out = subprocess.run([binary], env=env, capture_output=True,
-                         text=True, timeout=1800)
+                         text=True, timeout=1800, cwd=home)
     m = re.search(r"avg time per iteration \[s\]:\s*([0-9.eE+-]+)",
                   out.stderr + out.stdout)
     if not m:

@@ -309,6 +309,20 @@ class MonoConfig:
     num_hypotheses: int = 0
     # Minimal solver: '5pt' (findEssentialMat parity, viso.cpp:1384) or '8pt'.
     method: str = "5pt"
+    # Solver for the FIRST RANSAC pass (est1), whose only products are
+    # the induced F for the epipolar re-match gate and a sanity ok flag
+    # — the pose comes from est2 on the re-matched set.  'same'
+    # (default) runs the full `method` twice: strict first-pass parity
+    # with findEssentialMat (viso.cpp:1384).  '8pt' runs the
+    # ~2.5x-cheaper 8-point solver for the gate pass (49.5 -> 70.4 fps
+    # end-to-end, 120 with --mono-hyp=32) — measured ATE-equivalent on
+    # feature-rich configs (1200 pts: medians 0.060 vs 0.063 over 15
+    # regime-seeds incl. noise and repetitive texture) but up to ~4x
+    # worse on a sparser 900-point config (medians 0.094 vs 0.023) —
+    # the cheap gate's F admits worse re-matches when correspondences
+    # are thin, so it stays OPT-IN (docs/performance.md "Monocular
+    # path").
+    first_pass: str = "same"
     # Gauss-Newton Sampson-error polish of (R, t) on its 5-dof manifold
     # after cheirality voting (geometry/essential.py::refine_relative_pose).
     # The linear RANSAC refit leaves the translation direction degrees off
@@ -356,6 +370,10 @@ class MonoConfig:
         if self.method not in ("5pt", "8pt"):
             raise ValueError(
                 f"method must be '5pt' or '8pt', got {self.method!r}")
+        if self.first_pass not in ("same", "8pt"):
+            raise ValueError(
+                f"first_pass must be 'same' or '8pt', got "
+                f"{self.first_pass!r}")
         if self.scale_estimator not in ("bundle", "regression", "median",
                                         "pnp"):
             raise ValueError(

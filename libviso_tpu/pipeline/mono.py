@@ -187,10 +187,18 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
         xn_prev = _norm(x_prev)
 
         k1, k2 = jax.random.split(key)
+        # est1 only feeds the epipolar re-match gate (its E -> F) and a
+        # sanity flag; the pose comes from est2 on the re-matched set —
+        # MonoConfig.first_pass='8pt' swaps in the cheaper solver here
+        fp_method = (mono.method if mono.first_pass == "same"
+                     else mono.first_pass)
+        fp_hyp = (n_hyp if fp_method == mono.method
+                  else dataclasses.replace(
+                      mono, method=fp_method).resolved_hypotheses())
         est1 = ransac_essential(k1, xn_cur, xn_prev, valid=m.valid,
-                                num_hypotheses=n_hyp,
+                                num_hypotheses=fp_hyp,
                                 sampson_thresh=mono.sampson_thresh,
-                                method=mono.method)
+                                method=fp_method)
 
         # epipolar re-match under the induced fundamental matrix
         F = jnp.asarray(Kinv.T, jnp.float32) @ est1.E @ jnp.asarray(

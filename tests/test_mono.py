@@ -192,3 +192,47 @@ def test_mono_recovery_span_scales_constant_velocity_fallback():
     ref_len = np.linalg.norm(clean.poses[-1][:3, 3])
     rec_len = np.linalg.norm(rec.poses[-1][:3, 3])
     assert abs(rec_len - ref_len) < 0.03 * ref_len, (rec_len, ref_len)
+
+
+@pytest.mark.slow
+def test_mono_first_pass_modes():
+    """MonoConfig.first_pass (round 4): the 8-point gate pass is the
+    measured fast mode (49.5 -> 70.4 fps), NOT the default — on
+    feature-rich configs it is ATE-equivalent to the double-5pt
+    default, but on this sparser 900-point config it measured up to
+    ~4x worse (medians 0.094 vs 0.023 — the cheap gate's F admits
+    worse re-matches when correspondences are thin), which is exactly
+    why 'same' stays the default.  This pins the operational contract
+    of BOTH modes: every frame solves and trajectories stay inside the
+    absolute envelope observed across all measured configs."""
+    import numpy as np
+
+    from libviso_tpu.config import MonoConfig
+    from libviso_tpu.pipeline.mono import run_mono_sequence
+    from libviso_tpu.synthetic import generate_sequence
+    from libviso_tpu.utils.metrics import ate_rmse
+
+    K = np.array([[360.0, 0.0, 208.0], [0.0, 360.0, 80.0],
+                  [0.0, 0.0, 1.0]])
+    T = 8
+    speeds = np.array([0.0, 0.8, 0.5, 1.1, 0.7, 1.2, 0.6, 1.0])
+    ates = {"8pt": [], "same": []}
+    for seed in (3, 11, 21):
+        traj = np.zeros((T, 6))
+        traj[:, 5] = speeds
+        traj[1:, 1] = 0.004
+        seq = generate_sequence(num_frames=T, num_points=900, seed=seed,
+                                width=416, height=160, f=360.0,
+                                trajectory=traj, subpixel_render=True,
+                                pattern_smooth=1.0, patch=9)
+        frames = [f[0] for f in seq.frames]
+        for fp in ("8pt", "same"):
+            res = run_mono_sequence(frames, K, seed=seed,
+                                    mono=MonoConfig(first_pass=fp))
+            assert res.frame_ok[1:].all(), (fp, seed)
+            ates[fp].append(float(ate_rmse(res.poses, seq.gt_poses,
+                                           align="sim3")))
+    # default: the accuracy class the docs claim (measured 0.019-0.058)
+    assert np.median(ates["same"]) < 0.10, ates
+    # fast mode: degraded but bounded (measured 0.019-0.102)
+    assert np.median(ates["8pt"]) < 0.20, ates
