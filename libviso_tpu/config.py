@@ -164,6 +164,21 @@ class MatchConfig:
     """
 
     radius: float = 80.0  # L1 radius in pixels on keypoint positions
+    # Strip-banded matcher (round 4, ops/matching.py): keypoints from
+    # the binned detector are x-strip-ordered and the position gate
+    # confines candidates to ceil((radius+2)/strip) strips either side,
+    # so the masked tensors shrink ~5x at KITTI scale.  MEASURED SLOWER
+    # on v5e and OFF by default: dense 0.205 vs banded 0.223 ms per
+    # frame triple (full step 0.950 -> 1.046) — XLA already fuses the
+    # dense gates into the argmin reduction pass, so the hand-counted
+    # mask traffic the banding saves never hits HBM, while the banded
+    # path pays real gather/scatter and batched-matmul layout costs.
+    # Same lesson as the Pallas block-sparse matcher postmortem
+    # (ops/pallas_fused_match.py), one level up the stack.  The
+    # implementation stays (tested equal-on-detector-output; may pay at
+    # larger N or on other backends); True + a caller-supplied frame
+    # width enables it.
+    banded: bool = False
     use_epipolar: bool = False
     sampson_thresh: float = 1.0
     use_ratio: bool = False

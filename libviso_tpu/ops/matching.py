@@ -170,9 +170,34 @@ def finalize_match(best, second, best_idx, kp1_valid,
     return MatchResult(idx=idx, dist=dist, valid=valid)
 
 
+def _banded_tables_np(nbx, nby, k, band):
+    """Static gather tables for the strip-banded matcher.
+
+    The detect_harris_binned slot contract: slot (by*nbinx + bx)*k + j
+    sits in x-strip bx (pixel span [bx*sx, (bx+1)*sx)).  Returns numpy
+    (perm (nbx, P) strip-major slot ids, tidx (nbx, (2*band+1)*P)
+    candidate slot ids per query strip, dup — True where an edge strip
+    was clamp-duplicated and must be masked out).
+    """
+    import numpy as np
+
+    per = nby * k
+    # strip-major permutation of the n = nbx*per real slots
+    perm = (np.arange(nby * nbx * k)
+            .reshape(nby, nbx, k).transpose(1, 0, 2).reshape(nbx, per))
+    offs = np.arange(-band, band + 1)
+    g = np.arange(nbx)[:, None]
+    h = np.clip(g + offs[None, :], 0, nbx - 1)        # (nbx, 2B+1)
+    dup = (g + offs[None, :]) != h                    # clamped -> dup
+    tidx = perm[h].reshape(nbx, (2 * band + 1) * per)
+    dupm = np.repeat(dup, per, axis=1)
+    return perm.astype(np.int32), tidx.astype(np.int32), dupm
+
+
 def match_problem_batch(q_xy, q_valid, q_d, t_xy, t_valid, t_d,
                         use_epi, use_rat, ratios, radius, sampson_thresh,
-                        metric, F, backend="xla") -> MatchResult:
+                        metric, F, backend="xla",
+                        layout=None, image_width=None) -> MatchResult:
     """A stack of B gated match problems as one vmapped computation.
 
     All problems share radius/metric/Sampson threshold; the Sampson and
@@ -180,11 +205,100 @@ def match_problem_batch(q_xy, q_valid, q_d, t_xy, t_valid, t_d,
     (B,) bool, ``ratios`` (B,)).  Inputs are (B, N, ...) stacks; returns a
     MatchResult of (B, N) tensors.  Used by match_frame_triple (B=3 per
     streaming frame) and the frame-batched pipeline (B=3T-2 per window).
+
+    ``layout`` = (nbinx, nbiny, k, num_slots) + ``image_width`` enable
+    the STRIP-BANDED fast path (round 4): keypoints from
+    detect_harris_binned are x-strip-ordered, and the L1 position gate
+    (< radius px) confines every query's candidates to
+    ceil((radius+2)/sx) strips either side — the same static block
+    sparsity the banded descriptor gather exploits.  The mask/argmin
+    passes then run over (nbx, P, (2B+1)P) tensors ~5x smaller than
+    (N, N) at KITTI scale.  Candidate coverage is EXACT (every pair the
+    position gate admits is inside the band), so results match the
+    dense path except where two candidates tie to the bit in distance
+    (the band scans targets in strip-major order, the dense path in
+    slot order; tested equal on real detector output).  'l1' keeps the
+    dense path (its chunked VPU broadcast doesn't profit from the
+    narrower band the same way; strict-parity mode favors simplicity).
     """
     F = jnp.asarray(F)
+    banded = None
+    if layout is not None and metric != "l1":
+        nbx, nby, k, n_slots = layout
+        n = nbx * nby * k
+        sx = image_width // nbx
+        if sx >= 1 and n <= n_slots and q_xy.shape[1] == n_slots:
+            band = -(-int(radius + 2) // sx)  # ceil
+            if (2 * band + 1) < nbx:         # narrower than dense
+                import numpy as np
+
+                perm, tidx, dupm = _banded_tables_np(nbx, nby, k, band)
+                banded = (jnp.asarray(perm), jnp.asarray(tidx),
+                          jnp.asarray(dupm), n_slots)
 
     def one(qxy, qv, qd, txy, tv, td, epi, rat, ratio):
         big = jnp.asarray(jnp.inf, dtype=qd.dtype)
+        if banded is not None:
+            perm, tidx, dupm, n_slots = banded
+            qxy_s = qxy[perm]                  # (nbx, P, 2)
+            qv_s = qv[perm]
+            qd_s = qd[perm]
+            txy_b = txy[tidx]                  # (nbx, M, 2)
+            tv_b = tv[tidx] & ~dupm
+            td_b = td[tidx]
+            pos_l1 = (jnp.abs(qxy_s[:, :, None, 0] - txy_b[:, None, :, 0])
+                      + jnp.abs(qxy_s[:, :, None, 1]
+                                - txy_b[:, None, :, 1]))
+            ok = pos_l1 < radius
+            ok &= qv_s[:, :, None] & tv_b[:, None, :]
+            s = sampson_distance(F, qxy_s[:, :, None, :],
+                                 txy_b[:, None, :, :])
+            epi_ok = jnp.isfinite(s) & (s <= sampson_thresh)
+            ok &= jnp.where(epi, epi_ok, True)
+            if metric == "l2q8":
+                q1 = jnp.clip(jnp.round(qd_s / 8.0), -127, 127
+                              ).astype(jnp.int8)
+                q2 = jnp.clip(jnp.round(td_b / 8.0), -127, 127
+                              ).astype(jnp.int8)
+                cross = jax.lax.dot_general(
+                    q1, q2, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
+                n1 = jnp.sum(q1.astype(jnp.int32) ** 2, axis=-1)
+                n2 = jnp.sum(q2.astype(jnp.int32) ** 2, axis=-1)
+                sq = jnp.maximum(n1[:, :, None] + n2[:, None, :]
+                                 - 2 * cross, 0)
+                dd = 8.0 * jnp.sqrt(sq.astype(qd.dtype))
+            else:  # l2
+                cross = jax.lax.dot_general(
+                    qd_s, td_b, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                n1 = jnp.sum(qd_s * qd_s, axis=-1)
+                n2 = jnp.sum(td_b * td_b, axis=-1)
+                dd = jnp.sqrt(jnp.maximum(
+                    n1[:, :, None] + n2[:, None, :] - 2.0 * cross, 0.0))
+            dd = jnp.where(ok, dd, big)
+            # row-wise best/second over the band (= over all admitted
+            # candidates: coverage is exact)
+            bl = jnp.argmin(dd, axis=2).astype(jnp.int32)
+            best = jnp.take_along_axis(dd, bl[:, :, None], axis=2)[..., 0]
+            cols = jnp.arange(dd.shape[2], dtype=jnp.int32)
+            dd2 = jnp.where(cols[None, None, :] == bl[:, :, None], big, dd)
+            second = jnp.min(dd2, axis=2)
+            bidx = jnp.take_along_axis(tidx, bl, axis=1)  # global ids
+            valid = jnp.isfinite(best) & qv_s
+            valid &= jnp.where(rat, best < second * ratio, True)
+            idxg = jnp.where(valid, bidx, -1)
+            distg = jnp.where(valid, best, big)
+            # scatter strip-major results back to slot order; the pad
+            # tail (slots >= n) stays unmatched/invalid by construction
+            flat = perm.reshape(-1)
+            idx = jnp.full((n_slots,), -1, jnp.int32
+                           ).at[flat].set(idxg.reshape(-1))
+            dist = jnp.full((n_slots,), big
+                            ).at[flat].set(distg.reshape(-1))
+            vout = jnp.zeros((n_slots,), bool
+                             ).at[flat].set(valid.reshape(-1))
+            return MatchResult(idx=idx, dist=dist, valid=vout)
         pos_l1 = (jnp.abs(qxy[:, None, 0] - txy[None, :, 0])
                   + jnp.abs(qxy[:, None, 1] - txy[None, :, 1]))
         ok = pos_l1 < radius
@@ -208,7 +322,7 @@ def match_problem_batch(q_xy, q_valid, q_d, t_xy, t_valid, t_d,
 def match_frame_triple(kp1: Keypoints, d1, kp2: Keypoints, d2,
                        kp1p: Keypoints, d1p, kp2p: Keypoints, d2p,
                        stereo: MatchConfig, temporal: MatchConfig,
-                       F, backend="xla"):
+                       F, backend="xla", layout=None, image_width=None):
     """The per-frame match workload as ONE vmapped 3-problem batch.
 
     The reference calls match_desc three times per frame — LR stereo
@@ -255,7 +369,8 @@ def match_frame_triple(kp1: Keypoints, d1, kp2: Keypoints, d2,
         ratios=jnp.asarray([stereo.ratio, temporal.ratio, temporal.ratio],
                            d1.dtype),
         radius=stereo.radius, sampson_thresh=stereo.sampson_thresh,
-        metric=stereo.metric, F=F, backend=backend)
+        metric=stereo.metric, F=F, backend=backend,
+        layout=layout, image_width=image_width)
     pick = lambda i: jax.tree_util.tree_map(lambda x: x[i], res)
     return pick(0), pick(1), pick(2)
 

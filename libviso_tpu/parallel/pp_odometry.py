@@ -86,10 +86,16 @@ def build_pipelined_program(calib: Calib, F, cfg: PipelineConfig,
     _reject_keep_on_failure(cfg)
 
     frontend = build_frontend(cfg)
-    prepare = build_prepare(calib, F, cfg, backend=backend)
     solve = build_solve(calib, cfg)
 
     def program(ims1, ims2, key):
+        from libviso_tpu.pipeline.stereo import build_prepare as _bp
+
+        # built at trace time: the static frame width reaches the
+        # strip-banded matcher (keeps PP bit-consistent with the
+        # serial step, which bands the same way)
+        prepare = _bp(calib, F, cfg, backend=backend,
+                      image_width=ims1.shape[-1])
         T = ims1.shape[0]
 
         def body(ims1, ims2, key):
@@ -205,9 +211,15 @@ def _stream_jits(calib: Calib, f_bytes: bytes, cfg: PipelineConfig,
     front-end (~20 s on the tunneled chip)."""
     F = np.frombuffer(f_bytes, np.float64).reshape(3, 3)
     frontend = build_frontend(cfg)
-    prepare = build_prepare(calib, F, cfg, backend=backend)
-    prep = jax.jit(
-        lambda state, im1, im2: prepare(frontend(im1, im2), state)[:2])
+
+    def _prep(state, im1, im2):
+        # prepare built at trace time: static width -> banded matcher,
+        # bit-consistent with the serial step
+        prepare = build_prepare(calib, F, cfg, backend=backend,
+                                image_width=im1.shape[-1])
+        return prepare(frontend(im1, im2), state)[:2]
+
+    prep = jax.jit(_prep)
     solve = jax.jit(build_solve(calib, cfg))
     return prep, solve
 

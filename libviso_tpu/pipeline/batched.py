@@ -78,7 +78,10 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
     temporal_cfg = cfg.temporal_match
 
     def fn(ims1, ims2, key):
+        from libviso_tpu.pipeline.stereo import match_layout
+
         T = ims1.shape[0]
+        layout = match_layout(cfg, ims1.shape[-1])
         # all 2T detections as one vmapped batch
         kps, ds = jax.vmap(detect)(jnp.concatenate([ims1, ims2], axis=0))
         kp1 = jax.tree_util.tree_map(lambda x: x[:T], kps)
@@ -97,7 +100,8 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
             ratios=jnp.full((T,), stereo_cfg.ratio, fdt),
             radius=stereo_cfg.radius,
             sampson_thresh=stereo_cfg.sampson_thresh,
-            metric=stereo_cfg.metric, F=F, backend=backend)
+            metric=stereo_cfg.metric, F=F, backend=backend,
+            layout=layout, image_width=ims1.shape[-1])
 
         Tm = 2 * (T - 1)
         tm = match_problem_batch(
@@ -112,7 +116,8 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
             ratios=jnp.full((Tm,), temporal_cfg.ratio, fdt),
             radius=temporal_cfg.radius,
             sampson_thresh=temporal_cfg.sampson_thresh,
-            metric=temporal_cfg.metric, F=F, backend=backend)
+            metric=temporal_cfg.metric, F=F, backend=backend,
+            layout=layout, image_width=ims1.shape[-1])
         part = lambda tree, a, b: jax.tree_util.tree_map(
             lambda x: x[a:b], tree)
         m11 = part(tm, 0, T - 1)

@@ -179,13 +179,30 @@ def zero_solve_input(cfg: PipelineConfig, dtype=jnp.float32) -> SolveInput:
         num_kp1=z, sharpness=jnp.zeros((), dtype))
 
 
+def match_layout(cfg: PipelineConfig, image_width):
+    """(nbinx, nbiny, k, num_slots) for the strip-banded matcher, or
+    None when banding does not apply (no width known, multi-scale
+    detection whose slot blocks are per-level, or disabled by
+    ``stereo_match.banded``)."""
+    det = cfg.detector
+    if (image_width is None or det.pyramid_levels > 1
+            or not cfg.stereo_match.banded):
+        return None
+    return (det.nbinx, det.nbiny, det.corners_per_bin, det.num_slots)
+
+
 def build_prepare(calib: Calib, F, cfg: PipelineConfig,
-                  backend: str = "xla"):
+                  backend: str = "xla", image_width=None):
     """Matching through correspondence gathering — all per-frame work
     EXCEPT the RANSAC solve.  prepare(feats, state) -> (new_state,
     SolveInput, CircleResult); the CircleResult is for the debug artifact
-    writer only and stays out of the pipeline-parallel seam."""
+    writer only and stays out of the pipeline-parallel seam.
+
+    ``image_width`` (static) enables the strip-banded matcher
+    (ops/matching.py::match_problem_batch) — callers that know the
+    frame shape at trace time pass it; None keeps the dense path."""
     F = jnp.asarray(F)
+    layout = match_layout(cfg, image_width)
 
     def prepare(feats: Feats, state: FrameState):
         kp1, d1, kp2, d2 = feats.kp1, feats.d1, feats.kp2, feats.d2
@@ -194,7 +211,8 @@ def build_prepare(calib: Calib, F, cfg: PipelineConfig,
         # viso.cpp:1240,1264,1275) as ONE vmapped (3, N, N) batch.
         mlr, m11, m22 = match_frame_triple(
             kp1, d1, kp2, d2, state.kp1, state.d1, state.kp2, state.d2,
-            cfg.stereo_match, cfg.temporal_match, F, backend=backend)
+            cfg.stereo_match, cfg.temporal_match, F, backend=backend,
+            layout=layout, image_width=image_width)
 
         # Per-left-slot observations (u_l, v_l, u_r, v_r) and 3D points
         # (collect_matches + triangulate_rectified, viso.cpp:1246-1247).
@@ -279,7 +297,8 @@ def hold_state_on_failure(state, new_state, ok, has_history, max_age):
 
 
 def build_backend(calib: Calib, F, cfg: PipelineConfig,
-                  backend: str = "xla", debug: bool = False):
+                  backend: str = "xla", debug: bool = False,
+                  image_width=None):
     """Build the per-frame BACK-END: matching through pose estimation
     (prepare ∘ solve).
 
@@ -287,7 +306,8 @@ def build_backend(calib: Calib, F, cfg: PipelineConfig,
     Consumes the front-end's features for the CURRENT frame plus the
     previous-frame state.
     """
-    prepare = build_prepare(calib, F, cfg, backend=backend)
+    prepare = build_prepare(calib, F, cfg, backend=backend,
+                            image_width=image_width)
     solve = build_solve(calib, cfg, debug=debug)
 
     def backend_fn(feats: Feats, state: FrameState, key):
@@ -328,9 +348,14 @@ def build_frame_step(calib: Calib, F, cfg: PipelineConfig,
       jittable.
     """
     frontend = build_frontend(cfg)
-    backend_fn = build_backend(calib, F, cfg, backend=backend, debug=debug)
 
     def step(state: FrameState, im1, im2, key):
+        # backend built at TRACE time so the static frame width reaches
+        # the strip-banded matcher (cheap Python closure construction;
+        # the jit cache keys on `step`, which is stable)
+        backend_fn = build_backend(calib, F, cfg, backend=backend,
+                                   debug=debug,
+                                   image_width=im1.shape[-1])
         return backend_fn(frontend(im1, im2), state, key)
 
     return step
