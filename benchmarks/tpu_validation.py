@@ -68,6 +68,11 @@ def main(argv=None):
         "serving S=4 K=1": ["--streams=4", "--chunk=1"],
         "serving S=4 K=4": ["--streams=4"],
         "serving S=8 K=4": ["--streams=8"],
+        # monocular modes (round 4; vs MONO_BASELINE_FPS = 14.98)
+        "mono 5pt (default)": ["--mono"],
+        "mono 5pt fast (fp8pt h32)": ["--mono", "--mono-first-pass=8pt",
+                                      "--mono-hyp=32"],
+        "mono 8pt": ["--mono", "--mono-8pt"],
     }
     results = {}
     print("| mode | fps (median) | best window | vs baseline |")
