@@ -341,3 +341,32 @@ def test_multi_revisit_three_laps():
     err_vo = np.linalg.norm(res.poses_vo[-1, :3, 3] - gt[-1, :3, 3])
     err_opt = np.linalg.norm(res.poses[-1, :3, 3] - gt[-1, :3, 3])
     assert err_opt < err_vo
+
+
+@pytest.mark.slow
+def test_spatial_eviction_checkpoint_resume_bit_exact(tmp_path):
+    """The spatial eviction state (kf_pos + the running VO chain it is
+    derived from) must ride the checkpoint: a run interrupted AFTER the
+    store has filled and evicted must resume to the exact trajectory
+    and loop set of the uninterrupted run."""
+    from libviso_tpu.utils.checkpoint import CheckpointManager
+
+    seq = _circle_sequence()
+    kw = dict(cfg=tiny_config(), keyframe_every=1, min_gap=24,
+              min_matches=40, min_inliers=20, max_keyframes=16,
+              eviction="spatial", seed=0)
+    full = run_with_loop_closure(list(seq.frames), seq.P1, seq.P2, **kw)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=8)
+    # interrupted run: 30 of 48 frames — the 16-slot store has filled
+    # and evicted ~14 times by then
+    run_with_loop_closure(list(seq.frames)[:30], seq.P1, seq.P2,
+                          checkpoint=mgr, **kw)
+    assert mgr.latest() is not None
+    resumed = run_with_loop_closure(list(seq.frames), seq.P1, seq.P2,
+                                    checkpoint=mgr, **kw)
+    np.testing.assert_array_equal(resumed.motions, full.motions)
+    np.testing.assert_array_equal(resumed.frame_ok, full.frame_ok)
+    assert ([(l.frame_new, l.frame_old) for l in resumed.loops]
+            == [(l.frame_new, l.frame_old) for l in full.loops])
+    np.testing.assert_allclose(resumed.poses, full.poses, rtol=0, atol=0)
