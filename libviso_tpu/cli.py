@@ -376,6 +376,20 @@ def _cmd_serve(args):
     if len(seq_names) < 2:
         sys.exit("serve wants >=2 sequences (use `kitti` for one)")
 
+    cfg = _apply_cfg_flags(PipelineConfig(), args)
+    if args.pool > 0:
+        # fleet mode: a fixed-slot StreamPool works through the queue,
+        # re-seeding finished slots with the next sequence WITHOUT
+        # recompiling (pipeline/multistream.py::StreamPool) — sequences
+        # load lazily at attach time, so memory stays O(pool), not
+        # O(queue).
+        if args.checkpoint_every > 0:
+            sys.exit("--pool does not take --checkpoint-every yet (the "
+                     "lockstep mode checkpoints; the pool's slot state "
+                     "is transient by design)")
+        _serve_pool(args, kitti_home, seq_names, cfg)
+        return
+
     frames_l, P1s, P2s = [], [], []
     for name in seq_names:
         paths = kitti_sequence_paths(kitti_home, name)
@@ -391,7 +405,6 @@ def _cmd_serve(args):
     if len(shapes) != 1:
         sys.exit(f"sequences must share one image shape, got {shapes}")
 
-    cfg = _apply_cfg_flags(PipelineConfig(), args)
     ckpt = None
     if args.checkpoint_every > 0:
         from libviso_tpu.utils.checkpoint import CheckpointManager
@@ -438,6 +451,83 @@ def _cmd_serve(args):
             }})
     print(json.dumps({
         "streams": len(seq_names),
+        "aggregate_fps": total / dt if dt > 0 else None,
+        "sequences": out,
+    }))
+
+
+def _serve_pool(args, kitti_home, seq_names, cfg):
+    """Fleet serving: work a queue of sequences through a fixed-slot
+    StreamPool, writing each sequence's results the moment it finishes
+    and re-seeding its slot with the next queued sequence (no
+    recompile — the serving-fleet lifecycle, VERDICT r3 #9)."""
+    from libviso_tpu.io.kitti import (
+        StereoImageStream,
+        kitti_sequence_paths,
+        load_calib,
+        save_poses_kitti,
+    )
+    from libviso_tpu.pipeline.multistream import StreamPool
+    from libviso_tpu.utils.metrics import MetricsLogger
+
+    def load(name):
+        paths = kitti_sequence_paths(kitti_home, name)
+        P1, P2 = load_calib(paths["calib"])
+        stream = StereoImageStream(
+            os.path.join(paths["image_0"], "%06d.png"),
+            os.path.join(paths["image_1"], "%06d.png"),
+            begin=args.begin, end=args.end)
+        return list(stream), P1, P2
+
+    slots = min(args.pool, len(seq_names))
+    pool = StreamPool(cfg, slots=slots, backend=args.backend)
+    queue = list(enumerate(seq_names))     # (global index, name)
+    slot_seq = {}                          # slot -> (index, name)
+    t0 = time.perf_counter()
+
+    def attach_next(slot):
+        idx, name = queue.pop(0)
+        frames, P1, P2 = load(name)
+        # stream i uses seed+i regardless of slot, matching its solo run
+        pool.attach(slot, frames, P1, P2, seed=args.seed + idx)
+        slot_seq[slot] = (idx, name)
+
+    out = [None] * len(seq_names)
+    total = 0
+    for s in range(slots):
+        attach_next(s)
+    # NB: finished() returns slot indices — 0 is a real slot, so truth-
+    # test the list lengths, never `any(...)`
+    while len(pool.active()) > 0 or len(pool.finished()) > 0:
+        while pool.active():
+            pool.step()
+        for s in pool.finished():
+            idx, name = slot_seq.pop(s)
+            res = pool.detach(s)
+            result_dir = os.path.join(kitti_home, "results", name,
+                                      args.result_sha)
+            os.makedirs(result_dir, exist_ok=True)
+            with MetricsLogger(os.path.join(result_dir,
+                                            "metrics.jsonl")) as ml:
+                for st in res.stats:
+                    ml.log(st)
+            poses_path = os.path.join(result_dir, "data", f"{name}.txt")
+            save_poses_kitti(poses_path, res.poses)
+            total += len(res.poses)
+            inls = [st["num_inliers"] for st in res.stats[1:]]
+            out[idx] = {
+                "sequence": name, "frames": len(res.poses),
+                "solved": int(res.frame_ok.sum()), "poses": poses_path,
+                "health": {
+                    "failed_frames": int((~res.frame_ok[1:]).sum()),
+                    "inliers_mean": (round(float(np.mean(inls)), 1)
+                                     if inls else None),
+                }}
+            if queue:
+                attach_next(s)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "streams": len(seq_names), "pool": slots,
         "aggregate_fps": total / dt if dt > 0 else None,
         "sequences": out,
     }))
@@ -672,6 +762,13 @@ def main(argv=None):
     sv.add_argument("--end", type=int, default=None)
     sv.add_argument("--seed", type=int, default=0,
                     help="stream s uses seed+s (matches its solo run)")
+    sv.add_argument("--pool", type=int, default=0, metavar="N",
+                    help="fleet mode: work the sequence list through N "
+                         "fixed slots, re-seeding each finished slot "
+                         "with the next queued sequence without "
+                         "recompiling (StreamPool; sequences load "
+                         "lazily, memory O(pool)).  0 = lockstep mode "
+                         "(all sequences advance together)")
     sv.add_argument("--checkpoint-every", type=int, default=0,
                     metavar="N",
                     help="snapshot the full S-stream state every N "

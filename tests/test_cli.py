@@ -227,3 +227,78 @@ def test_serve_rejects_chunk(tmp_path, monkeypatch):
     monkeypatch.setenv("KITTI_HOME", str(tmp_path))
     with pytest.raises(SystemExit, match="chunk"):
         cli.main(["serve", "sha", "00,01", "--chunk", "4"])
+
+
+@pytest.mark.slow
+def test_serve_pool_works_queue_through_slots(tmp_path, monkeypatch,
+                                              capsys):
+    """`serve --pool N` (round 4): three sequences through two slots —
+    the finished slot is re-seeded with the queued sequence without
+    recompiling, every sequence gets its poses/metrics written, and
+    each stream's trajectory matches its solo run within the
+    multistream f32-batching contract."""
+    import json as _json
+    import os
+
+    from PIL import Image
+
+    from libviso_tpu.config import (
+        DetectorConfig,
+        PipelineConfig,
+        RansacConfig,
+    )
+    from libviso_tpu.pipeline import run_stereo_sequence
+    from libviso_tpu.synthetic import generate_sequence
+
+    lengths = {"aa": 5, "bb": 3, "cc": 4}
+    seqs = {}
+    for i, (name, T) in enumerate(lengths.items()):
+        seq = generate_sequence(num_frames=T, num_points=300, seed=7 + i,
+                                width=160, height=96, f=120.0)
+        seqs[name] = seq
+        base = tmp_path / "sequences" / name
+        (base / "image_0").mkdir(parents=True)
+        (base / "image_1").mkdir(parents=True)
+        (base / "calib.txt").write_text(
+            "P0: " + " ".join(f"{v:.9e}" for v in seq.P1.reshape(-1))
+            + "\nP1: " + " ".join(f"{v:.9e}"
+                                  for v in seq.P2.reshape(-1)) + "\n")
+        for k, (l, r) in enumerate(seq.frames):
+            Image.fromarray(np.asarray(l).astype(np.uint8)).save(
+                base / "image_0" / f"{k:06d}.png")
+            Image.fromarray(np.asarray(r).astype(np.uint8)).save(
+                base / "image_1" / f"{k:06d}.png")
+    monkeypatch.setenv("KITTI_HOME", str(tmp_path))
+
+    cli.main(["serve", "poolsha", "aa,bb,cc", "--pool", "2"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pool"] == 2 and out["streams"] == 3
+    cfg = PipelineConfig()
+    for i, (name, T) in enumerate(lengths.items()):
+        row = out["sequences"][i]
+        assert row["sequence"] == name
+        assert row["frames"] == T
+        assert row["solved"] == T - 1, row
+        assert os.path.exists(row["poses"])
+        # the pooled stream must match its solo run (seed contract:
+        # stream i uses seed 0 + i) within f32 batching noise
+        solo = run_stereo_sequence(
+            [(np.asarray(l, np.float32), np.asarray(r, np.float32))
+             for l, r in _png_frames(tmp_path, name, T)],
+            seqs[name].P1, seqs[name].P2, cfg, seed=i)
+        poses = np.loadtxt(row["poses"]).reshape(-1, 3, 4)
+        np.testing.assert_allclose(poses, solo.poses[:, :3, :],
+                                   rtol=0, atol=5e-5)
+
+
+def _png_frames(root, name, T):
+    from PIL import Image
+
+    base = root / "sequences" / name
+    out = []
+    for k in range(T):
+        out.append((np.asarray(Image.open(base / "image_0"
+                                          / f"{k:06d}.png")),
+                    np.asarray(Image.open(base / "image_1"
+                                          / f"{k:06d}.png"))))
+    return out
