@@ -43,10 +43,13 @@ def main():
     from libviso_tpu.utils.metrics import ate_rmse
 
     n_seeds = 6
+    seed0 = 1
     for a in sys.argv[1:]:
         if a.startswith("--seeds"):
             n_seeds = int(a.split("=")[1] if "=" in a
                           else sys.argv[sys.argv.index(a) + 1])
+        if a.startswith("--seed0="):
+            seed0 = int(a.split("=")[1])
 
     SHAPE = dict(width=416, height=160, num_frames=12)
     CFG = PipelineConfig(
@@ -63,7 +66,7 @@ def main():
 
     rows = []
     for regime, kw in REGIMES.items():
-        for seed in range(1, n_seeds + 1):
+        for seed in range(seed0, seed0 + n_seeds):
             seq = generate_world_sequence(seed=seed, **SHAPE, **kw)
             out = {}
             ate_vo = None

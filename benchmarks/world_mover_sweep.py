@@ -57,8 +57,18 @@ def main():
         "medium": dict(length=7.0, height=2.8, x=-3.2, z0=8.0),
         "large":  dict(length=10.0, height=3.4, x=-2.9, z0=7.0),
         "huge":   dict(length=14.0, height=4.0, x=-2.6, z0=6.0),
+        # the ONSET scenario (docs/realism.md): the truck starts far
+        # ahead and grows from ~3% to ~30% coverage over an 18-frame
+        # drive — the realistic entry case, measured NOT to capture
+        # (graceful contamination only)
+        "onset":  dict(length=10.0, height=3.4, x=-2.9, z0=14.0,
+                       frames=18),
     }
     RATIOS = {"overtaken": 0.45, "pacing": 0.95, "oncoming": -0.9}
+    only = ""
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=")[1]
 
     def coverage(seq_with, seq_without, k):
         a = seq_with.frames[k][0]
@@ -67,13 +77,17 @@ def main():
 
     rows = []
     for gname, g in GEOMS.items():
+        if only and only not in gname:
+            continue
+        g = dict(g)
+        frames_n = g.pop("frames", T)
         for rname, ratio in RATIOS.items():
             for seed in range(n_seeds):
                 rng = np.random.default_rng((seed, 0xBEEF))
                 mover = make_truck_mover(
                     rng, velocity=(0.0, 0.0, ratio * SPEED), **g)
-                kw = dict(seed=seed, width=W, height=H, num_frames=T,
-                          speed=SPEED, yaw_rate=0.0)
+                kw = dict(seed=seed, width=W, height=H,
+                          num_frames=frames_n, speed=SPEED, yaw_rate=0.0)
                 seq = generate_world_sequence(movers=[mover], **kw)
                 ref = generate_world_sequence(**kw)
                 cov = coverage(seq, ref, T // 2)
