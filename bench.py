@@ -20,7 +20,7 @@ every step for an end-to-end-including-transfer number.
 Flags:
   --mono           monocular SfM mode: per-frame 5-point (or --mono-8pt)
                    pipeline, metric "mono_sfm_fps", vs_baseline against
-                   the MEASURED reference calib_sfm (13.97 fps,
+                   the MEASURED reference calib_sfm (14.98 fps,
                    benchmarks/reference_baseline/run_mono_baseline.py —
                    the reference's loop stops BEFORE pose recovery;
                    ours completes it)

@@ -497,9 +497,12 @@ def _serve_pool(args, kitti_home, seq_names, cfg):
     for s in range(slots):
         attach_next(s)
     # NB: finished() returns slot indices — 0 is a real slot, so truth-
-    # test the list lengths, never `any(...)`
+    # test the list lengths, never `any(...)`.  Finished slots are
+    # re-seeded INSIDE the stepping loop: with heterogeneous sequence
+    # lengths a drained slot must not idle (re-processing its last frame
+    # with discarded outputs) until every other slot finishes (ADVICE r4).
     while len(pool.active()) > 0 or len(pool.finished()) > 0:
-        while pool.active():
+        if len(pool.active()) > 0:
             pool.step()
         for s in pool.finished():
             idx, name = slot_seq.pop(s)

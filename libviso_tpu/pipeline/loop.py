@@ -363,8 +363,13 @@ def run_with_loop_closure(frames, P1, P2,
         nonlocal P_run
         lo = chained_upto[0]
         if len(motions_l) > lo:
-            Ts = np.asarray(pose_vector_to_matrix(
-                jnp.asarray(np.stack(motions_l[lo:]))))
+            # host-side numpy 4x4 chaining: the stack length varies with
+            # flush cadence/resume, so a jax round-trip here recompiles
+            # per new shape and pays ~27 ms eager-dispatch RPC on the
+            # tunnel backend (ADVICE r4)
+            from libviso_tpu.synthetic import _pose_matrix_np
+
+            Ts = _pose_matrix_np(np.stack(motions_l[lo:]))
             for k, T in enumerate(Ts):
                 if oks_l[lo + k]:
                     R, tt = T[:3, :3], T[:3, 3]

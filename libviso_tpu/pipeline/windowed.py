@@ -125,7 +125,10 @@ class WindowedResult:
     poses_vo: np.ndarray    # (T, 4, 4) front-end-only trajectory
     motions: np.ndarray     # (T, 6) refined motions
     frame_ok: np.ndarray    # (T,)
-    window_costs: list      # (initial, final, ok) per window
+    # per-window 5-tuples (initial_cost, final_cost, accepted,
+    # holdout_half0, holdout_half1); `accepted` is gate-inclusive —
+    # solver ok AND (gate off or holdout_gate accepted)
+    window_costs: list
     processed: int = 0      # frames computed THIS run (excludes
     #                         checkpoint-restored windows)
 
