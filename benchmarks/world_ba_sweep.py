@@ -1,12 +1,15 @@
-"""Windowed-BA never-worse gate measurement on textured-world drives.
+"""Windowed-BA acceptance-gate measurement on textured-world drives.
 
-The evidence for VERDICT r3 #6: on photograph-like imagery, plain
-windowed BA can *degrade* a clean run (round 3, seed 1: VO 0.038 m ->
-BA 0.059 m) because dense-texture corners are not fixed 3D points to
-subpixel accuracy — minimizing reprojection re-fits the texture-phase
-drift.  The held-out-landmark acceptance gate (pipeline/refine.py::
-holdout_gate) must make --ba-window never-worse across seeds while
-keeping the improvement where VO had a bad stretch (seed 3: -51%).
+The evidence for VERDICT r3 #6 / r4 #1: on photograph-like imagery,
+plain windowed BA can *degrade* a clean run (round 3, seed 1: VO
+0.038 m -> BA 0.059 m) because dense-texture corners are not fixed 3D
+points to subpixel accuracy — minimizing reprojection re-fits the
+texture-phase drift.  The held-out-landmark acceptance gate
+(pipeline/refine.py::holdout_gate) must keep BA's wins where VO had a
+bad stretch while rejecting the harmful refits.  The r5 calibration
+(margin/criterion selection + fresh-seed validation + the WORSE flag
+below) lives in benchmarks/ba_gate_experiment.py; this script is the
+production-path measurement.
 
 Run on CPU:
 

@@ -90,6 +90,36 @@ def _add_cfg_flags(parser):
              "mode only, docs/realism.md)")
 
 
+def _add_health_flags(parser):
+    """Run-level health-alarm thresholds (docs/operations.md; shared by
+    every driver that prints a `health` block)."""
+    from libviso_tpu.config import HealthConfig
+
+    d = HealthConfig()
+    parser.add_argument(
+        "--support-ratio-alarm", type=float,
+        default=d.support_ratio_alarm, metavar="R",
+        help="alarm when min per-frame num_inliers/num_circle over the "
+             "run drops below R (default %(default)s — fired on 17/17 "
+             "locked dominant-mover rows, docs/realism.md)")
+    parser.add_argument(
+        "--motion-jump-alarm", type=float,
+        default=d.motion_jump_alarm, metavar="J",
+        help="alarm when the max weighted 6-dof delta between "
+             "consecutive accepted motions exceeds J (default "
+             "%(default)s — mode-flipping capture)")
+
+
+def _health_cfg(args):
+    from libviso_tpu.config import HealthConfig
+
+    return HealthConfig(
+        support_ratio_alarm=getattr(args, "support_ratio_alarm",
+                                    HealthConfig().support_ratio_alarm),
+        motion_jump_alarm=getattr(args, "motion_jump_alarm",
+                                  HealthConfig().motion_jump_alarm))
+
+
 def _apply_cfg_flags(cfg, args):
     # None = flag not given -> keep the config default.  The values are
     # applied UNCONDITIONALLY when given (comparing against a hard-coded
@@ -152,7 +182,7 @@ def _cmd_kitti(args):
         save_poses_kitti,
     )
     from libviso_tpu.pipeline import run_stereo_sequence
-    from libviso_tpu.utils.metrics import MetricsLogger
+    from libviso_tpu.utils.metrics import MetricsLogger, health_summary
 
     kitti_home = args.kitti_home or os.environ.get("KITTI_HOME")
     if not kitti_home:
@@ -274,20 +304,15 @@ def _cmd_kitti(args):
         for s in stats:
             ml.log(s)
     # run-level health summary (docs/operations.md): the signals an
-    # operator should alert on, aggregated from the per-frame stats
-    sharps = [s["sharpness"] for s in stats if "sharpness" in s]
-    inls = [s["num_inliers"] for s in stats[1:] if "num_inliers" in s]
-    # always emitted (docs/operations.md contract): the BA/loop modes
-    # carry no per-frame sharpness, so those keys go null, but
-    # failed_frames must never silently disappear from an alert feed
-    extra["health"] = {
-        "failed_frames": int((~res.frame_ok[1:]).sum()),
-        "sharpness_mean": (round(float(np.mean(sharps)), 5)
-                           if sharps else None),
-        "sharpness_min": (round(float(np.min(sharps)), 5)
-                          if sharps else None),
-        "inliers_mean": round(float(np.mean(inls)), 1) if inls else None,
-    }
+    # operator should alert on, aggregated from the per-frame stats.
+    # Always emitted: the BA/loop modes carry no per-frame sharpness so
+    # those keys go null, but failed_frames and the alarm list must
+    # never silently disappear from an alert feed (VERDICT r4 #4).
+    hc = _health_cfg(args)
+    extra["health"] = health_summary(
+        stats, res.frame_ok,
+        support_ratio_alarm=hc.support_ratio_alarm,
+        motion_jump_alarm=hc.motion_jump_alarm)
 
     # Reference pose list semantics: identity first, then per-frame poses.
     poses_path = os.path.join(result_dir, "data", f"{args.seq}.txt")
@@ -359,7 +384,7 @@ def _cmd_serve(args):
         save_poses_kitti,
     )
     from libviso_tpu.pipeline.multistream import run_multistream
-    from libviso_tpu.utils.metrics import MetricsLogger
+    from libviso_tpu.utils.metrics import MetricsLogger, health_summary
 
     kitti_home = args.kitti_home or os.environ.get("KITTI_HOME")
     if not kitti_home:
@@ -440,15 +465,14 @@ def _cmd_serve(args):
         # fps over frames computed THIS run (resume must not claim the
         # restored frames' throughput)
         total += getattr(res, "processed", len(res.poses))
-        inls = [s["num_inliers"] for s in res.stats[1:]]
+        hc = _health_cfg(args)
         out.append({
             "sequence": name, "frames": len(res.poses),
             "solved": int(res.frame_ok.sum()), "poses": poses_path,
-            "health": {
-                "failed_frames": int((~res.frame_ok[1:]).sum()),
-                "inliers_mean": (round(float(np.mean(inls)), 1)
-                                 if inls else None),
-            }})
+            "health": health_summary(
+                res.stats, res.frame_ok,
+                support_ratio_alarm=hc.support_ratio_alarm,
+                motion_jump_alarm=hc.motion_jump_alarm)})
     print(json.dumps({
         "streams": len(seq_names),
         "aggregate_fps": total / dt if dt > 0 else None,
@@ -468,7 +492,7 @@ def _serve_pool(args, kitti_home, seq_names, cfg):
         save_poses_kitti,
     )
     from libviso_tpu.pipeline.multistream import StreamPool
-    from libviso_tpu.utils.metrics import MetricsLogger
+    from libviso_tpu.utils.metrics import MetricsLogger, health_summary
 
     def load(name):
         paths = kitti_sequence_paths(kitti_home, name)
@@ -517,15 +541,14 @@ def _serve_pool(args, kitti_home, seq_names, cfg):
             poses_path = os.path.join(result_dir, "data", f"{name}.txt")
             save_poses_kitti(poses_path, res.poses)
             total += len(res.poses)
-            inls = [st["num_inliers"] for st in res.stats[1:]]
+            hc = _health_cfg(args)
             out[idx] = {
                 "sequence": name, "frames": len(res.poses),
                 "solved": int(res.frame_ok.sum()), "poses": poses_path,
-                "health": {
-                    "failed_frames": int((~res.frame_ok[1:]).sum()),
-                    "inliers_mean": (round(float(np.mean(inls)), 1)
-                                     if inls else None),
-                }}
+                "health": health_summary(
+                    res.stats, res.frame_ok,
+                    support_ratio_alarm=hc.support_ratio_alarm,
+                    motion_jump_alarm=hc.motion_jump_alarm)}
             if queue:
                 attach_next(s)
     dt = time.perf_counter() - t0
@@ -699,11 +722,12 @@ def main(argv=None):
                    help="gate population: 0 = all tracked observations "
                         "(default); M>1 = hold every M-th landmark out "
                         "of BA and gate on those only")
-    k.add_argument("--ba-gate-margin", type=float, default=0.85,
-                   help="clear-win bar: both split-half paired error "
-                        "ratios (refined/VO) must be <= margin "
-                        "(margin < 1; at the noise floor BA stays "
-                        "rejected)")
+    k.add_argument("--ba-gate-margin", type=float, default=None,
+                   help="clear-win bar: the MEAN of the two split-half "
+                        "paired error ratios (refined/VO) must be <= "
+                        "margin (margin < 1; at the noise floor BA "
+                        "stays rejected).  Default: BAConfig.gate_margin"
+                        " (0.90, r5 calibration)")
     k.add_argument("--ba-min-cam-obs", type=int, default=24,
                    help="min post-gate observations per camera for its "
                         "adjacent motions to take the BA refinement")
@@ -734,6 +758,7 @@ def main(argv=None):
                    help="write per-frame debug artifacts under "
                         "results/.../dbg (reference param.save_debug)")
     _add_cfg_flags(k)
+    _add_health_flags(k)
     k.set_defaults(fn=_cmd_kitti)
 
     s = sub.add_parser("synth", help="synthetic-sequence smoke run")
@@ -779,6 +804,7 @@ def main(argv=None):
                          "streams; resume is bit-exact)")
     sv.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     _add_cfg_flags(sv)
+    _add_health_flags(sv)
     sv.set_defaults(fn=_cmd_serve)
 
     m = sub.add_parser("mono", help="monocular SfM (calib_sfm.cpp analog)")

@@ -433,20 +433,36 @@ class BAConfig:
     # Cross-window marginalization prior strength (0 disables; see
     # run_windowed_ba docstring for the calibration).
     prior_strength: float = 1.0
+    # VO-anchor shrinkage prior on ALL window frames, in the same units
+    # (fraction of the marginalization prior's per-dof weight).
+    # MEASURED POSTMORTEM (r5, benchmarks/ba_gate_experiment_r5.jsonl):
+    # built as the structural fix for BA's clean-run ATE degradations
+    # (pose motion along reprojection-flat directions), it does damp
+    # them (4 -> 2 worse-than-VO rows at strength 0.05) but shrinks the
+    # genuine corrections MORE (mean ATE 0.078 -> 0.089, captures
+    # 20 -> 13/24) at EVERY strength 0.05-0.5 — the flat directions of
+    # a bad-VO window coincide with the directions the correction needs.
+    # The recalibrated holdout gate dominates it on both axes, so the
+    # default stays 0; the knob remains for ablation.
+    vo_prior_strength: float = 0.0
     # Both endpoint cameras of a motion must keep this many post-gate
     # observations or the frame falls back to its VO motion (measured:
     # a weakly-observed camera's refined motion can be meters off while
     # the window cost still drops).
     min_cam_obs: int = 24
-    # Acceptance gate (VERDICT r3 #6): a window's refined motions are
-    # applied only when they predict the gate observations CLEARLY
-    # better than the VO poses (pipeline/refine.py::holdout_gate —
-    # paired per-observation error ratio against the frozen X0,
-    # split-half replication, margin < 1).  margin < 1 because on clean
-    # imagery both pose sets sit at the texture-phase noise floor and a
-    # no-worse bar is a coin flip, while a genuinely bad VO stretch
-    # loses by 2-10x and clears any margin (measured,
-    # benchmarks/world_ba_sweep.py).  gate=False restores the round-3
+    # Acceptance gate (VERDICT r3 #6, recalibrated r5): a window's
+    # refined motions are applied only when they predict the gate
+    # observations CLEARLY better than the VO poses
+    # (pipeline/refine.py::holdout_gate — paired per-observation error
+    # ratio against the frozen X0, MEAN over the two parity halves
+    # <= margin < 1).  Calibration on 48 rows (24 + 24 fresh-seed,
+    # benchmarks/ba_gate_fine{,_fresh}_r5.jsonl): at 0.90 the gate cuts
+    # worse-than-VO rows 11 -> 4 /48 and mean harm 2.6x vs ungated BA
+    # while keeping ~73% of its net accuracy win (the r4 both-halves-
+    # <=0.85 form rejected every window in 19/24 rows and forfeited
+    # measured 2.6x wins).  NOT a never-worse guarantee — the
+    # reprojection statistic is blind to reprojection-flat pose error
+    # (see holdout_gate docstring).  gate=False restores the round-3
     # always-apply behavior.  holdout_modulus: 0 gates on all masked
     # observations (nothing excluded from BA — the default; strict
     # holdouts lack statistical power under world-texture track
@@ -454,7 +470,7 @@ class BAConfig:
     # those only.
     gate: bool = True
     holdout_modulus: int = 0
-    gate_margin: float = 0.85
+    gate_margin: float = 0.90
 
     def __post_init__(self):
         if self.stride > self.window:
@@ -464,6 +480,25 @@ class BAConfig:
                 "by no BA window")
         if self.holdout_modulus < 0:
             raise ValueError("holdout_modulus must be >= 0")
+
+
+@dataclasses.dataclass(frozen=True)
+class HealthConfig:
+    """Run-level health-alarm thresholds (docs/operations.md; VERDICT
+    r4 #4).  Both calibrated on the round-4 dominant-mover sweep
+    (benchmarks/world_mover_sweep_r4.jsonl): the support ratio dropped
+    below 0.72 on 17/17 locked rows while healthy driving sits >= ~0.73;
+    motion jumps of 0.34-0.78 mark mode-flipping capture vs ~0.05 smooth
+    driving (benign transients reach 0.41, so the jump is the SECONDARY
+    signal — docs/operations.md signal table)."""
+
+    support_ratio_alarm: float = 0.72   # alarm when min ratio < this
+    motion_jump_alarm: float = 0.3      # alarm when max jump > this
+
+    # Deliberately NOT a PipelineConfig field: checkpoint fingerprints
+    # hash repr(cfg), and tuning an alert threshold must never
+    # invalidate a resume (the thresholds affect only the run-level
+    # summary, not any computation).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -217,6 +217,306 @@ def _spatial_evict_slot(pos_stored, frames_stored, pos_new):
     return -1 if victim == len(pos_stored) else int(victim)
 
 
+class LoopEngine:
+    """Keyframe store + revisit detection + geometric verification,
+    decoupled from the front-end that produces keyframe summaries.
+
+    Extracted from the streaming driver (r5) so the SAME store,
+    candidate matcher, two-stage guided verification, and spatial
+    eviction serve both front-ends: the streaming per-frame step
+    (``run_with_loop_closure`` summarizes its FrameState) and the
+    windowed-BA batched front-end (``pipeline/ba_loop.py`` summarizes
+    TrackData rows) — the composition VERDICT r4 #3 asked for.
+
+    The engine is host-driven mutable state around three jitted
+    programs; keys for the verification solves derive from the caller's
+    base key exactly as the streaming driver always did
+    (``fold_in(key, 1_000_000 + t)`` / ``2_000_000 + 2t + it``), so
+    refactoring changed no draw.
+    """
+
+    def __init__(self, cfg: PipelineConfig, calib: Calib, key, *,
+                 keyframe_every=5, min_gap=20, min_matches=60,
+                 min_inliers=30, max_keyframes=128, keyframe_budget=256,
+                 min_seed_inliers=7, guided_radius=16.0,
+                 verify_top_k=3, loop_match_ratio=0.8,
+                 eviction="spatial", backend="xla"):
+        if eviction not in ("spatial", "fifo"):
+            raise ValueError(f"eviction must be 'spatial' or 'fifo', "
+                             f"got {eviction!r}")
+        # a budget larger than the slot tensor is a no-op, not an error
+        keyframe_budget = min(keyframe_budget, cfg.detector.num_slots)
+        self.cfg = cfg
+        self.calib = calib
+        self.key = key
+        self.keyframe_every = keyframe_every
+        self.min_gap = min_gap
+        self.min_matches = min_matches
+        self.min_inliers = min_inliers
+        self.max_keyframes = max_keyframes
+        self.keyframe_budget = keyframe_budget
+        self.min_seed_inliers = min_seed_inliers
+        self.verify_top_k = verify_top_k
+        self.eviction = eviction
+        self.match_all = _build_candidate_matcher(
+            cfg, max_keyframes, keyframe_budget, backend,
+            loop_match_ratio)
+        # Cross-loop verification sees FAR lower inlier fractions than
+        # the per-frame solve (no position gate, alias floor): widen the
+        # hypothesis pool so a ~10% inlier set still yields all-inlier
+        # 3-point samples with near-certainty.
+        self.verify_ransac = dataclasses.replace(
+            cfg.ransac,
+            num_hypotheses=max(256, cfg.ransac.num_hypotheses),
+            gn_lm_lambda=1e-3)
+        self.guided = _build_guided_matcher(cfg, keyframe_budget,
+                                            backend, calib, guided_radius)
+        # fixed-shape keyframe store (slot ring; kf_frame[i] = -1 empty)
+        d = cfg.detector.descriptor_dim_padded
+        self.kf_xy = jnp.zeros((max_keyframes, keyframe_budget, 2),
+                               jnp.float32)
+        self.kf_desc = jnp.zeros((max_keyframes, keyframe_budget, d),
+                                 jnp.float32)
+        self.kf_X = np.zeros((max_keyframes, keyframe_budget, 3),
+                             np.float32)
+        self.kf_valid = jnp.zeros((max_keyframes, keyframe_budget), bool)
+        self.kf_frames = np.full((max_keyframes,), -1, np.int64)
+        self.kf_pos = np.zeros((max_keyframes, 3), np.float32)
+        self.n_kf = 0
+        self.loops: list = []
+        self.candidates: list = []
+
+    def offer(self, t, xy, desc, obs, X, valid, pos_fn):
+        """Process keyframe-cadence frame ``t``: search the store for a
+        verified revisit (appending to ``self.loops``/``candidates``),
+        then store the new keyframe.  ``pos_fn()`` must return the
+        current trajectory position (called AFTER verification — the
+        caller may flush device futures inside it)."""
+        key = self.key
+        budget = self.keyframe_budget
+        if self.n_kf > 0:
+            idxs, valids, scores = self.match_all(
+                xy, desc, valid, self.kf_xy, self.kf_desc, self.kf_valid)
+            scores = np.asarray(scores)
+            gaps = t - self.kf_frames
+            eligible = (self.kf_frames >= 0) & (gaps >= self.min_gap)
+            scores = np.where(eligible, scores, -1)
+            # Verify the top-k candidates, not just the argmax: the raw
+            # match count has an ALIASING FLOOR (random descriptor pairs
+            # that pass the ratio test), so the true revisit is not
+            # always the top scorer — geometric verification, not the
+            # count, is the real arbiter.  First candidate that
+            # verifies wins.
+            order = np.argsort(-scores)[:self.verify_top_k]
+            for best in (int(b) for b in order):
+                if scores[best] < self.min_matches:
+                    break
+                # verify: old keyframe's 3D against the NEW keyframe's
+                # stereo observations -> motion old -> new
+                m_idx = np.asarray(idxs[best])
+                m_valid = np.asarray(valids[best])
+                safe = np.clip(m_idx, 0, budget - 1)
+                Xp = self.kf_X[best][safe]
+                pts_valid = m_valid & (m_idx >= 0)
+                est = ransac_pose(
+                    jax.random.fold_in(key, 1_000_000 + t),
+                    jnp.asarray(Xp), obs, jnp.asarray(pts_valid),
+                    self.calib, self.verify_ransac)
+                diag = {
+                    "frame_new": t,
+                    "frame_old": int(self.kf_frames[best]),
+                    "score": int(scores[best]), "ok": bool(est.ok),
+                    "num_inliers": int(est.num_inliers),
+                    "refined_inliers": 0}
+                self.candidates.append(diag)
+                if not (bool(est.ok)
+                        and int(est.num_inliers) >= self.min_seed_inliers):
+                    continue
+                # stage 2: guided re-match under the candidate pose,
+                # then re-solve on the recovered support; the FINAL
+                # acceptance gate applies to this refined solve.  The
+                # re-match is MUTUAL: old->new under est.tr AND
+                # new->old under its inverse, keeping only reciprocal
+                # pairs — the guided radius gate alone admits ~85%
+                # aliases (any new corner near a projected old slot),
+                # and aliases are rarely each other's best partner in
+                # both directions.
+                est2 = est
+                for it in range(2):  # re-match under each refined pose
+                    g_idx, g_valid, g_dist = self.guided(
+                        est2.tr, jnp.asarray(self.kf_X[best]),
+                        self.kf_desc[best], self.kf_valid[best],
+                        xy, desc, valid)
+                    g_idx = np.asarray(g_idx)
+                    safe2 = np.clip(g_idx, 0, budget - 1)
+                    g_val = np.asarray(g_valid) & (g_idx >= 0)
+                    # keep only the best-descriptor quarter of the
+                    # guided matches (cap 48): a radius gate under a
+                    # seed pose tens of degrees off admits hundreds of
+                    # aliases (measured ~5% true), and RANSAC's
+                    # 3-sample success odds collapse; true
+                    # re-observations concentrate at the small-distance
+                    # end
+                    g_dist = np.where(g_val, np.asarray(g_dist), np.inf)
+                    keep = min(48, max(16, int(g_val.sum()) // 4))
+                    thresh = np.partition(g_dist, keep - 1)[keep - 1]
+                    g_val = g_val & (g_dist <= thresh)
+                    if it > 0:
+                        # reciprocal check once the pose has been
+                        # refined ONCE: under the seed pose a mutual
+                        # filter starves the solve, but under the
+                        # round-1 refined pose it cheaply strips
+                        # remaining aliases
+                        tr_inv = matrix_to_pose_vector(invert_se3(
+                            pose_vector_to_matrix(
+                                jnp.asarray(est2.tr))))
+                        r_idx, r_valid, _ = self.guided(
+                            tr_inv.astype(np.float32), X, desc, valid,
+                            self.kf_xy[best], self.kf_desc[best],
+                            self.kf_valid[best])
+                        r_idx = np.asarray(r_idx)
+                        mutual = (np.asarray(r_valid)[safe2]
+                                  & (r_idx[safe2]
+                                     == np.arange(budget)))
+                        g_val = g_val & mutual
+                    # g maps OLD slot -> NEW slot: solve old 3D vs the
+                    # matched new stereo observations
+                    est2 = ransac_pose(
+                        jax.random.fold_in(key, 2_000_000 + 2 * t + it),
+                        jnp.asarray(self.kf_X[best]),
+                        jnp.asarray(np.asarray(obs)[safe2]),
+                        jnp.asarray(g_val), self.calib,
+                        self.verify_ransac)
+                    diag.setdefault("refine_trace", []).append(
+                        (int(g_val.sum()), int(est2.num_inliers)))
+                diag["refined_inliers"] = int(est2.num_inliers)
+                diag["refined_ok"] = bool(est2.ok)
+                # gate on the REFINED inlier count, not est2.ok: the
+                # count is evaluated under the refit pose
+                # (ransac.py:129-131), so >= min_inliers certifies the
+                # pose explains that much support within threshold even
+                # when the step-norm `converged` flag stayed false
+                # (weak-geometry Cholesky bail or a step oscillating
+                # between adjacent minima)
+                if int(est2.num_inliers) >= self.min_inliers:
+                    self.loops.append(LoopEdge(
+                        frame_new=t,
+                        frame_old=int(self.kf_frames[best]),
+                        tr=np.asarray(est2.tr),
+                        num_inliers=int(est2.num_inliers),
+                        num_matches=int(scores[best])))
+                    break
+
+        # store the new keyframe.  Full store: 'spatial' evicts the
+        # most redundant member (coverage-preserving — VERDICT r3 #4);
+        # 'fifo' restores the round-3 ring overwrite.
+        pos_t = pos_fn()
+        if self.n_kf >= self.max_keyframes and self.eviction == "spatial":
+            slot = _spatial_evict_slot(self.kf_pos, self.kf_frames, pos_t)
+        else:
+            slot = self.n_kf % self.max_keyframes
+        if slot >= 0:
+            self.kf_xy = self.kf_xy.at[slot].set(xy)
+            self.kf_desc = self.kf_desc.at[slot].set(desc)
+            self.kf_valid = self.kf_valid.at[slot].set(valid)
+            self.kf_X[slot] = np.asarray(X)
+            self.kf_frames[slot] = t
+            self.kf_pos[slot] = pos_t
+        self.n_kf += 1
+
+    # ---- checkpoint plumbing (order matches the r4 snapshot layout,
+    # so existing loop checkpoints restore across the refactor) ----
+
+    def state_leaves(self):
+        return [np.asarray(self.kf_xy), np.asarray(self.kf_desc),
+                np.asarray(self.kf_valid), self.kf_X, self.kf_frames,
+                np.asarray([self.n_kf]), self.kf_pos]
+
+    def restore(self, leaves, loop_stats):
+        (kf_xy, kf_desc, kf_valid, kf_X_r, kf_frames_r,
+         n_kf_r, kf_pos_r) = leaves
+        self.kf_xy = jnp.asarray(kf_xy)
+        self.kf_desc = jnp.asarray(kf_desc)
+        self.kf_valid = jnp.asarray(kf_valid)
+        self.kf_X = np.asarray(kf_X_r, np.float32)
+        self.kf_frames = np.asarray(kf_frames_r, np.int64)
+        self.n_kf = int(np.asarray(n_kf_r)[0])
+        self.kf_pos = np.asarray(kf_pos_r, np.float32)
+        self.loops = [LoopEdge(frame_new=s["new"], frame_old=s["old"],
+                               tr=np.asarray(s["tr"], np.float32),
+                               num_inliers=s["inliers"],
+                               num_matches=s["matches"])
+                      for s in loop_stats]
+
+    def loop_stats(self):
+        return [{"new": le.frame_new, "old": le.frame_old,
+                 "tr": np.asarray(le.tr).tolist(),
+                 "inliers": le.num_inliers,
+                 "matches": le.num_matches} for le in self.loops]
+
+
+def close_graph(poses_vo, kf_frames, loops, loop_weight=20.0,
+                robust="cauchy", robust_delta=0.05):
+    """Assemble + optimize the pose graph over a chained trajectory.
+
+    The graph is built over NODES (keyframe times + endpoints), not raw
+    frames: a dense jacfwd + Cholesky over 6T parameters is only
+    trivial at a few hundred nodes, and loop edges connect keyframes
+    anyway.  Sequential node edges take their z from the chained input
+    trajectory (so the combined BA+loop driver hands its BA-refined
+    chain here and the graph preserves the refined local motions);
+    frames between nodes re-anchor to their segment's optimized node.
+
+    Returns (poses, graph_cost, loop_scale).
+    """
+    T = len(poses_vo)
+    if not loops:
+        return poses_vo, (0.0, 0.0), np.zeros((0,), np.float32)
+    node_frames = sorted({0, T - 1}
+                         | {int(f) for f in kf_frames if f >= 0}
+                         | {le.frame_new for le in loops}
+                         | {le.frame_old for le in loops})
+    node_frames = np.asarray(node_frames, np.int64)
+    node_of = {int(f): k for k, f in enumerate(node_frames)}
+    K = len(node_frames)
+    P_nodes = poses_vo[node_frames]
+    ei = np.arange(K - 1, dtype=np.int32)
+    ej = ei + 1
+    z_seq = np.asarray(invert_se3(jnp.asarray(P_nodes[:-1]))
+                       @ jnp.asarray(P_nodes[1:]))
+    w = [np.ones((K - 1,), np.float32)]
+    for le in loops:
+        # est.tr maps old-frame 3D into the new camera:
+        # M = T_new^-1 T_old -> edge (i=new, j=old) with z = M
+        ei = np.concatenate([ei, [node_of[le.frame_new]]])
+        ej = np.concatenate([ej, [node_of[le.frame_old]]])
+        z_seq = np.concatenate([
+            z_seq, np.asarray(pose_vector_to_matrix(
+                jnp.asarray(le.tr)))[None]])
+        w.append(np.asarray([loop_weight], np.float32))
+    weights = np.concatenate(w)
+
+    # robust kernel on the LOOP edges only (VERDICT r1 #4a): odometry
+    # edges are trusted; a false revisit that slipped past geometric
+    # verification must not poison the graph — Cauchy IRLS drives an
+    # inconsistent edge's influence to ~0 instead of splitting its
+    # error across every node.
+    is_loop = np.zeros((len(weights),), bool)
+    is_loop[K - 1:] = True
+    res = optimize_pose_graph(jnp.asarray(P_nodes),
+                              jnp.asarray(ei, jnp.int32),
+                              jnp.asarray(ej, jnp.int32),
+                              jnp.asarray(z_seq), weights=weights,
+                              iters=15, robust=robust,
+                              robust_mask=jnp.asarray(is_loop),
+                              robust_delta=robust_delta)
+    poses = np.asarray(reanchor_segments(
+        jnp.asarray(poses_vo), jnp.asarray(node_frames, jnp.int32),
+        res.poses))
+    return poses, (float(res.cost0), float(res.cost)), \
+        np.asarray(res.edge_scale)[K - 1:]
+
+
 def run_with_loop_closure(frames, P1, P2,
                           cfg: PipelineConfig = PipelineConfig(),
                           keyframe_every: int = 5, min_gap: int = 20,
@@ -252,55 +552,32 @@ def run_with_loop_closure(frames, P1, P2,
     pair (``_spatial_evict_slot``) — loops longer than the store still
     close; ``'fifo'`` restores the round-3 ring overwrite.
     """
-    if eviction not in ("spatial", "fifo"):
-        raise ValueError(f"eviction must be 'spatial' or 'fifo', "
-                         f"got {eviction!r}")
     from libviso_tpu.geometry.mvg import F_from_P_host
     from libviso_tpu.geometry.se3 import chain_motions
     from libviso_tpu.pipeline.stereo import _jitted_step, empty_state
     from libviso_tpu.utils.debug_viz import DebugDumper
 
-    # a budget larger than the slot tensor is a no-op, not an error
-    keyframe_budget = min(keyframe_budget, cfg.detector.num_slots)
     calib = Calib.from_projections(P1, P2)
     F = F_from_P_host(P1, P2)
     debug = dbg_dir is not None
     dumper = DebugDumper(dbg_dir)
     step = _jitted_step(calib, np.ascontiguousarray(F).tobytes(), cfg,
                         backend, debug)
-    summarize = _build_summarize(keyframe_budget,
+    key = jax.random.PRNGKey(seed)
+    engine = LoopEngine(
+        cfg, calib, key, keyframe_every=keyframe_every, min_gap=min_gap,
+        min_matches=min_matches, min_inliers=min_inliers,
+        max_keyframes=max_keyframes, keyframe_budget=keyframe_budget,
+        min_seed_inliers=min_seed_inliers, guided_radius=guided_radius,
+        verify_top_k=verify_top_k, loop_match_ratio=loop_match_ratio,
+        eviction=eviction, backend=backend)
+    summarize = _build_summarize(engine.keyframe_budget,
                                  cfg.detector.descriptor_dim,
                                  normalize_desc)
-    match_all = _build_candidate_matcher(cfg, max_keyframes,
-                                         keyframe_budget, backend,
-                                         loop_match_ratio)
-    # Cross-loop verification sees FAR lower inlier fractions than the
-    # per-frame solve (no position gate, alias floor): widen the
-    # hypothesis pool so a ~10% inlier set still yields all-inlier
-    # 3-point samples with near-certainty.
-    verify_ransac = dataclasses.replace(
-        cfg.ransac, num_hypotheses=max(256, cfg.ransac.num_hypotheses),
-        gn_lm_lambda=1e-3)
-    guided = _build_guided_matcher(cfg, keyframe_budget, backend, calib,
-                                   guided_radius)
-
-    key = jax.random.PRNGKey(seed)
     state = empty_state(cfg)
-
-    # fixed-shape keyframe store (slot ring; kf_frame[i] = -1 -> empty)
-    d = cfg.detector.descriptor_dim_padded
-    kf_xy = jnp.zeros((max_keyframes, keyframe_budget, 2), jnp.float32)
-    kf_desc = jnp.zeros((max_keyframes, keyframe_budget, d), jnp.float32)
-    kf_X = np.zeros((max_keyframes, keyframe_budget, 3), np.float32)
-    kf_valid = jnp.zeros((max_keyframes, keyframe_budget), bool)
-    kf_frames = np.full((max_keyframes,), -1, np.int64)
-    kf_pos = np.zeros((max_keyframes, 3), np.float32)  # VO position
-    n_kf = 0
 
     motions_l: list = []
     oks_l: list = []
-    loops: list = []
-    candidates: list = []
     t0 = 0
     fingerprint = None
     if checkpoint is not None:
@@ -326,22 +603,10 @@ def run_with_loop_closure(frames, P1, P2,
             state = jax.tree_util.tree_unflatten(
                 treedef,
                 [jnp.asarray(x) for x in ck.state_leaves[:n_state]])
-            (kf_xy, kf_desc, kf_valid, kf_X_r, kf_frames_r,
-             n_kf_r, kf_pos_r) = ck.state_leaves[n_state:n_state + 7]
-            kf_xy = jnp.asarray(kf_xy)
-            kf_desc = jnp.asarray(kf_desc)
-            kf_valid = jnp.asarray(kf_valid)
-            kf_X = np.asarray(kf_X_r, np.float32)
-            kf_frames = np.asarray(kf_frames_r, np.int64)
-            n_kf = int(np.asarray(n_kf_r)[0])
-            kf_pos = np.asarray(kf_pos_r, np.float32)
+            engine.restore(ck.state_leaves[n_state:n_state + 7],
+                           ck.stats)
             motions_l = [m for m in ck.motions]
             oks_l = [bool(o) for o in ck.oks]
-            loops = [LoopEdge(frame_new=s["new"], frame_old=s["old"],
-                              tr=np.asarray(s["tr"], np.float32),
-                              num_inliers=s["inliers"],
-                              num_matches=s["matches"])
-                     for s in ck.stats]
             t0 = ck.next_frame
 
     pending: list = []
@@ -385,19 +650,14 @@ def run_with_loop_closure(frames, P1, P2,
 
         leaves = ([np.asarray(x)
                    for x in jax.tree_util.tree_leaves(state)]
-                  + [np.asarray(kf_xy), np.asarray(kf_desc),
-                     np.asarray(kf_valid), kf_X, kf_frames,
-                     np.asarray([n_kf]), kf_pos])
+                  + engine.state_leaves())
         checkpoint.save(Checkpoint(
             next_frame=next_frame,
             motions=(np.stack(motions_l) if motions_l
                      else np.zeros((0, 6))),
             oks=np.asarray(oks_l, bool),
             state_leaves=leaves,
-            stats=[{"new": le.frame_new, "old": le.frame_old,
-                    "tr": np.asarray(le.tr).tolist(),
-                    "inliers": le.num_inliers,
-                    "matches": le.num_matches} for le in loops],
+            stats=engine.loop_stats(),
             fingerprint=fingerprint,
         ))
 
@@ -445,128 +705,14 @@ def run_with_loop_closure(frames, P1, P2,
 
         xy, desc, obs, X, valid = summarize(state)
 
-        # candidate search against everything currently stored
-        if n_kf > 0:
-            idxs, valids, scores = match_all(xy, desc, valid,
-                                             kf_xy, kf_desc, kf_valid)
-            scores = np.asarray(scores)
-            gaps = t - kf_frames
-            eligible = (kf_frames >= 0) & (gaps >= min_gap)
-            scores = np.where(eligible, scores, -1)
-            # Verify the top-k candidates, not just the argmax: the raw
-            # match count has an ALIASING FLOOR (random descriptor pairs
-            # that pass the ratio test), so the true revisit is not
-            # always the top scorer — geometric verification, not the
-            # count, is the real arbiter.  First candidate that verifies
-            # wins.
-            order = np.argsort(-scores)[:verify_top_k]
-            for best in (int(b) for b in order):
-                if scores[best] < min_matches:
-                    break
-                # verify: old keyframe's 3D against the NEW keyframe's
-                # stereo observations -> motion old -> new
-                m_idx = np.asarray(idxs[best])
-                m_valid = np.asarray(valids[best])
-                safe = np.clip(m_idx, 0, keyframe_budget - 1)
-                Xp = kf_X[best][safe]
-                pts_valid = m_valid & (m_idx >= 0)
-                est = ransac_pose(
-                    jax.random.fold_in(key, 1_000_000 + t),
-                    jnp.asarray(Xp), obs, jnp.asarray(pts_valid),
-                    calib, verify_ransac)
-                diag = {
-                    "frame_new": t, "frame_old": int(kf_frames[best]),
-                    "score": int(scores[best]), "ok": bool(est.ok),
-                    "num_inliers": int(est.num_inliers),
-                    "refined_inliers": 0}
-                candidates.append(diag)
-                if not (bool(est.ok)
-                        and int(est.num_inliers) >= min_seed_inliers):
-                    continue
-                # stage 2: guided re-match under the candidate pose, then
-                # re-solve on the recovered support; the FINAL acceptance
-                # gate applies to this refined solve.  The re-match is
-                # MUTUAL: old->new under est.tr AND new->old under its
-                # inverse, keeping only reciprocal pairs — the guided
-                # radius gate alone admits ~85% aliases (any new corner
-                # near a projected old slot), and aliases are rarely each
-                # other's best partner in both directions.
-                est2 = est
-                for it in range(2):   # re-match under each refined pose
-                    g_idx, g_valid, g_dist = guided(
-                        est2.tr, jnp.asarray(kf_X[best]),
-                        kf_desc[best], kf_valid[best], xy, desc, valid)
-                    g_idx = np.asarray(g_idx)
-                    safe2 = np.clip(g_idx, 0, keyframe_budget - 1)
-                    g_val = np.asarray(g_valid) & (g_idx >= 0)
-                    # keep only the best-descriptor quarter of the guided
-                    # matches (cap 48): a radius gate under a seed pose
-                    # tens of degrees off admits hundreds of aliases
-                    # (measured ~5% true), and RANSAC's 3-sample success
-                    # odds collapse; true re-observations concentrate at
-                    # the small-distance end
-                    g_dist = np.where(g_val, np.asarray(g_dist), np.inf)
-                    keep = min(48, max(16, int(g_val.sum()) // 4))
-                    thresh = np.partition(g_dist, keep - 1)[keep - 1]
-                    g_val = g_val & (g_dist <= thresh)
-                    if it > 0:
-                        # reciprocal check once the pose has been refined
-                        # ONCE: under the seed pose a mutual filter
-                        # starves the solve, but under the round-1
-                        # refined pose it cheaply strips remaining
-                        # aliases
-                        tr_inv = matrix_to_pose_vector(invert_se3(
-                            pose_vector_to_matrix(jnp.asarray(est2.tr))))
-                        r_idx, r_valid, _ = guided(
-                            tr_inv.astype(np.float32), X, desc, valid,
-                            kf_xy[best], kf_desc[best], kf_valid[best])
-                        r_idx = np.asarray(r_idx)
-                        mutual = (np.asarray(r_valid)[safe2]
-                                  & (r_idx[safe2]
-                                     == np.arange(keyframe_budget)))
-                        g_val = g_val & mutual
-                    # g maps OLD slot -> NEW slot: solve old 3D vs the
-                    # matched new stereo observations
-                    est2 = ransac_pose(
-                        jax.random.fold_in(key, 2_000_000 + 2 * t + it),
-                        jnp.asarray(kf_X[best]),
-                        jnp.asarray(np.asarray(obs)[safe2]),
-                        jnp.asarray(g_val), calib, verify_ransac)
-                    diag.setdefault("refine_trace", []).append(
-                        (int(g_val.sum()), int(est2.num_inliers)))
-                diag["refined_inliers"] = int(est2.num_inliers)
-                diag["refined_ok"] = bool(est2.ok)
-                # gate on the REFINED inlier count, not est2.ok: the count
-                # is evaluated under the refit pose (ransac.py:129-131),
-                # so >= min_inliers certifies the pose explains that much
-                # support within threshold even when the step-norm
-                # `converged` flag stayed false (weak-geometry Cholesky
-                # bail or a step oscillating between adjacent minima)
-                if int(est2.num_inliers) >= min_inliers:
-                    loops.append(LoopEdge(
-                        frame_new=t, frame_old=int(kf_frames[best]),
-                        tr=np.asarray(est2.tr),
-                        num_inliers=int(est2.num_inliers),
-                        num_matches=int(scores[best])))
-                    break
+        def _pos():
+            # flush device futures, then chain host-side: the engine
+            # calls this AFTER verification (spatial eviction needs the
+            # position of frame t)
+            _flush()
+            return _advance_chain()
 
-        # store the new keyframe.  Full store: 'spatial' evicts the
-        # most redundant member (coverage-preserving — VERDICT r3 #4);
-        # 'fifo' restores the round-3 ring overwrite.
-        _flush()
-        pos_t = _advance_chain()
-        if n_kf >= max_keyframes and eviction == "spatial":
-            slot = _spatial_evict_slot(kf_pos, kf_frames, pos_t)
-        else:
-            slot = n_kf % max_keyframes
-        if slot >= 0:
-            kf_xy = kf_xy.at[slot].set(xy)
-            kf_desc = kf_desc.at[slot].set(desc)
-            kf_valid = kf_valid.at[slot].set(valid)
-            kf_X[slot] = np.asarray(X)
-            kf_frames[slot] = t
-            kf_pos[slot] = pos_t
-        n_kf += 1
+        engine.offer(t, xy, desc, obs, X, valid, _pos)
         if checkpoint is not None and (t + 1) % checkpoint.every == 0:
             _snapshot(t + 1)
 
@@ -590,66 +736,15 @@ def run_with_loop_closure(frames, P1, P2,
     Ts = pose_vector_to_matrix(jnp.asarray(motions))
     poses_vo = np.asarray(chain_motions(Ts, jnp.asarray(oks)))
 
-    T = len(motions)
-    if loops:
-        # The graph is built over NODES (keyframe times + endpoints), not
-        # raw frames: a dense jacfwd + Cholesky over 6T parameters is
-        # only trivial at a few hundred nodes, and loop edges connect
-        # keyframes anyway.  Sequential node edges take their z from the
-        # chained VO trajectory (failed frames contribute identity, as in
-        # chain_motions); frames between nodes re-anchor to their
-        # segment's optimized node afterwards.
-        node_frames = sorted({0, T - 1}
-                             | {int(f) for f in kf_frames if f >= 0}
-                             | {le.frame_new for le in loops}
-                             | {le.frame_old for le in loops})
-        node_frames = np.asarray(node_frames, np.int64)
-        node_of = {int(f): k for k, f in enumerate(node_frames)}
-        K = len(node_frames)
-        P_nodes = poses_vo[node_frames]
-        ei = np.arange(K - 1, dtype=np.int32)
-        ej = ei + 1
-        z_seq = np.asarray(invert_se3(jnp.asarray(P_nodes[:-1]))
-                           @ jnp.asarray(P_nodes[1:]))
-        w = [np.ones((K - 1,), np.float32)]
-        for le in loops:
-            # est.tr maps old-frame 3D into the new camera:
-            # M = T_new^-1 T_old -> edge (i=new, j=old) with z = M
-            ei = np.concatenate([ei, [node_of[le.frame_new]]])
-            ej = np.concatenate([ej, [node_of[le.frame_old]]])
-            z_seq = np.concatenate([
-                z_seq, np.asarray(pose_vector_to_matrix(
-                    jnp.asarray(le.tr)))[None]])
-            w.append(np.asarray([loop_weight], np.float32))
-        weights = np.concatenate(w)
-
-        # robust kernel on the LOOP edges only (VERDICT r1 #4a): odometry
-        # edges are trusted; a false revisit that slipped past geometric
-        # verification must not poison the graph — Cauchy IRLS drives an
-        # inconsistent edge's influence to ~0 instead of splitting its
-        # error across every node.
-        is_loop = np.zeros((len(weights),), bool)
-        is_loop[K - 1:] = True
-        res = optimize_pose_graph(jnp.asarray(P_nodes),
-                                  jnp.asarray(ei, jnp.int32),
-                                  jnp.asarray(ej, jnp.int32),
-                                  jnp.asarray(z_seq), weights=weights,
-                                  iters=15, robust=robust,
-                                  robust_mask=jnp.asarray(is_loop),
-                                  robust_delta=robust_delta)
-        poses = np.asarray(reanchor_segments(
-            jnp.asarray(poses_vo), jnp.asarray(node_frames, jnp.int32),
-            res.poses))
-        graph_cost = (float(res.cost0), float(res.cost))
-        loop_scale = np.asarray(res.edge_scale)[K - 1:]
-    else:
-        poses = poses_vo
-        graph_cost = (0.0, 0.0)
-        loop_scale = np.zeros((0,), np.float32)
+    poses, graph_cost, loop_scale = close_graph(
+        poses_vo, engine.kf_frames, engine.loops,
+        loop_weight=loop_weight, robust=robust,
+        robust_delta=robust_delta)
 
     return LoopClosureResult(poses=poses, poses_vo=poses_vo,
-                             motions=motions, frame_ok=oks, loops=loops,
+                             motions=motions, frame_ok=oks,
+                             loops=engine.loops,
                              graph_cost=graph_cost,
                              loop_edge_scale=loop_scale,
-                             candidates=candidates,
+                             candidates=engine.candidates,
                              processed=max(0, len(motions) - t0))

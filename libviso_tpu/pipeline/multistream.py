@@ -57,6 +57,24 @@ from libviso_tpu.pipeline.stereo import (
 )
 
 
+_JUMP_WEIGHTS = np.array([10.0, 10.0, 10.0, 1.0, 1.0, 1.0])
+
+
+def _motion_jump(tr, ok, prev_motions, prev_oks):
+    """Weighted 6-dof delta vs the previous ACCEPTED motion (the
+    dominant-mover health signal, pipeline/stereo.py::_flush).
+
+    Subtraction in f64: checkpoints store motions as f64 (exact copies
+    of the live f32 values), so a fixed compute dtype keeps the stat
+    bit-identical across resume (an f32-f32 subtraction rounds where
+    the resumed f32-f64 one would not)."""
+    if ok and prev_motions and prev_oks and prev_oks[-1]:
+        d = (np.asarray(tr, np.float64)
+             - np.asarray(prev_motions[-1], np.float64)) * _JUMP_WEIGHTS
+        return float(np.linalg.norm(d))
+    return 0.0
+
+
 def build_multistream_step(cfg: PipelineConfig, backend: str = "xla"):
     """Build the vmapped S-stream frame step.
 
@@ -276,7 +294,15 @@ class StreamPool:
                 if t < 0:
                     continue      # idle slot: output discarded
                 ok = bool(out.ok[s]) and t != 0
-                self._motions[s].append(np.asarray(out.tr[s]))
+                tr = np.asarray(out.tr[s])
+                # motion jump between consecutive ACCEPTED motions
+                # (stereo.py's health signal, mirrored per slot so the
+                # serve drivers' health summary carries it — VERDICT
+                # r4 #4); slot replacement resets the lists, so a new
+                # sequence never jumps against its predecessor's motion
+                jump = _motion_jump(tr, ok, self._motions[s],
+                                    self._oks[s])
+                self._motions[s].append(tr)
                 self._oks[s].append(ok)
                 self._stats[s].append({
                     "frame": t, "ok": ok,
@@ -286,6 +312,7 @@ class StreamPool:
                     "num_inliers": int(out.num_inliers[s]),
                     "reproj_rms": float(out.rms[s]),
                     "sharpness": float(out.sharpness[s]),
+                    "motion_jump": jump,
                 })
         self._pending.clear()
 
@@ -401,6 +428,8 @@ def run_multistream(sequences: Sequence, P1s, P2s,
 
     def _flush():
         for t, out in pending:
+            prev_tr = motions_l[-1] if motions_l else None
+            prev_ok = oks_l[-1] if oks_l else None
             motions_l.append(np.asarray(out.tr))
             oks_l.append(np.array([bool(out.ok[s]) and t != 0
                                    for s in range(S)]))
@@ -413,6 +442,11 @@ def run_multistream(sequences: Sequence, P1s, P2s,
                 "num_inliers": int(out.num_inliers[s]),
                 "reproj_rms": float(out.rms[s]),
                 "sharpness": float(out.sharpness[s]),
+                # per-stream dominant-mover health signal (VERDICT r4 #4)
+                "motion_jump": _motion_jump(
+                    motions_l[-1][s], bool(oks_l[-1][s]),
+                    [prev_tr[s]] if prev_tr is not None else [],
+                    [bool(prev_ok[s])] if prev_ok is not None else []),
             } for s in range(S)])
         pending.clear()
 

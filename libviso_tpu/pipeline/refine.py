@@ -146,35 +146,50 @@ def _masked_median(vals, mask):
 
 
 def holdout_gate(poses_cand, poses_base, X0, obs, hold_mask, calib,
-                 margin=0.85, min_holdout=20, split=None):
+                 margin=0.90, min_holdout=20, split=None):
     """Accept a candidate pose set only if it predicts HELD-OUT tracks
-    CLEARLY better than the baseline (VERDICT r3 #6).
+    CLEARLY better than the baseline (VERDICT r3 #6, recalibrated r5).
 
     Pure pose test: both candidates reproject the SAME stereo-initial
     landmarks ``X0`` onto observations the optimizer never saw
     (``hold_mask``), so neither side benefits from landmarks fitted to
     its own errors.
 
-    Decision statistic — calibrated on benchmarks/world_ba_sweep.py:
+    Decision statistic — recalibrated round 5 on a 14-criterion x
+    48-row sweep (benchmarks/ba_gate_experiment.py: 24 calibration
+    rows, seeds 1-12, + 24 FRESH-seed validation rows, seeds 13-24;
+    artifacts ba_gate_fine_r5.jsonl / ba_gate_fine_fresh_r5.jsonl):
 
       * PAIRED per-observation error ratio ``err_cand / err_base``
         (median over held-out observations), not a ratio of medians:
         pairing cancels the per-observation difficulty so the statistic
         concentrates much faster than two independent medians.
-      * SPLIT-HALF agreement: the held-out landmarks are split by
-        parity and BOTH halves' paired medians must clear ``margin``
-        independently.  A genuine fix (bad VO motion corrected)
-        improves most observations and replicates across any split; a
-        texture-phase noise fluctuation that happens to clear the
-        margin on one draw does not.
+      * The held-out landmarks are split by parity and the decision is
+        the MEAN of the two halves' paired medians <= ``margin``; both
+        halves still need ``min_holdout`` observations.  (The r4
+        criterion — BOTH halves independently <= 0.85 — rejected every
+        window in 19/24 sweep rows and forfeited measured 2.6x wins;
+        requiring independent clearance doubled the selection noise.)
       * ``margin < 1`` (clear-win bar, not no-worse): on clean imagery
-        both pose sets sit at the noise floor and a no-worse bar is a
-        coin flip, while a genuinely bad VO stretch loses on holdout by
-        2-10x and clears any margin.
+        the ratio reads ~0.95 EVEN WHEN the refit doubles ATE (poses
+        move along reprojection-flat directions), so a no-worse bar
+        admits exactly the harmful windows; genuine corrections clear
+        0.90 on the mean.
+
+    Measured contract (48 rows): the 0.90 mean-margin cuts
+    worse-than-VO rows 11 -> 4 of 48 and mean ATE harm 2.6x
+    (0.0075 -> 0.0029 m) versus ungated BA, while keeping ~73% of
+    ungated BA's mean net improvement (the 24 calibration rows alone
+    show 0 worse and 20/24 min(VO, plain)-capture; the fresh rows show
+    the honest tail).  This is NOT a never-worse guarantee and cannot
+    be: a reprojection statistic is structurally blind to pose error
+    along reprojection-flat directions, so residual harm is bounded
+    and rare but nonzero — r4's "never-worse" reading was a 24-row
+    sample artifact of near-total rejection.
 
     Windows with fewer than ``min_holdout`` held-out observations per
     half carry no independent evidence and are REJECTED (the caller
-    falls back to the VO motions — the never-worse default).
+    falls back to the VO motions — the conservative default).
 
     Returns (accept: () bool, med_ratio_half0, med_ratio_half1).
     """
@@ -194,7 +209,7 @@ def holdout_gate(poses_cand, poses_base, X0, obs, hold_mask, calib,
     n0 = jnp.sum(half0)
     n1 = jnp.sum(half1)
     accept = ((n0 >= min_holdout) & (n1 >= min_holdout)
-              & (med0 <= margin) & (med1 <= margin))
+              & ((med0 + med1) / 2 <= margin))
     return accept, med0, med1
 
 
@@ -214,7 +229,7 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
                           outlier_px=30.0, rerank_px=2.0,
                           pose_prior=None, prior_weight=None,
                           holdout_modulus=0,
-                          holdout_margin=0.85) -> WindowRefinement:
+                          holdout_margin=0.90) -> WindowRefinement:
     """Run BA on a window and convert refined poses back to per-frame
     motions.  Returns a WindowRefinement.
 
@@ -232,8 +247,8 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
     Acceptance gate (VERDICT r3 #6): ``holdout_ok`` reports whether the
     refined poses predict the gate observations CLEARLY better than the
     VO poses (``holdout_gate``: paired per-observation error ratio
-    against the FIXED stereo-initial landmarks X0, split-half
-    replication, margin < 1).  ``holdout_modulus`` selects the gate
+    against the FIXED stereo-initial landmarks X0, mean over the two
+    parity halves <= margin < 1).  ``holdout_modulus`` selects the gate
     population:
 
       * 0/1 (default) — ALL stage-1-masked observations of frames

@@ -551,7 +551,12 @@ def run_stereo_sequence(frames: Iterable, P1, P2,
             # beyond the flush's own.
             jump = 0.0
             if ok and motions and oks and oks[-1]:
-                d = (tr - motions[-1]) * np.array(
+                # f64 subtraction: keeps the stat bit-identical across
+                # checkpoint resume (restored motions are exact f64
+                # copies of the live f32 values; an f32-f32 subtraction
+                # rounds where the resumed f32-f64 one would not)
+                d = (np.asarray(tr, np.float64)
+                     - np.asarray(motions[-1], np.float64)) * np.array(
                     [10.0, 10.0, 10.0, 1.0, 1.0, 1.0])
                 jump = float(np.linalg.norm(d))
             motions.append(tr)

@@ -126,6 +126,64 @@ def kitti_trajectory_errors(poses_est, poses_gt, lengths=(100, 200, 300, 400,
     }
 
 
+def health_summary(stats, frame_ok, support_ratio_alarm: float = 0.72,
+                   motion_jump_alarm: float = 0.3) -> dict:
+    """Run-level `health` block shared by ALL drivers (VERDICT r4 #4).
+
+    Aggregates per-frame stats into the operator contract of
+    docs/operations.md — including the two round-4-calibrated silent-
+    failure alarms that were previously computed only inside the mover
+    sweep:
+
+      * ``support_ratio_min`` — min over solved frames of
+        num_inliers/num_circle.  Fired (< 0.72) on 17/17 locked
+        dominant-mover sweep rows (docs/realism.md "Dominant movers");
+        also fires at ~99%-saturated exposure.
+      * ``motion_jump_max`` — max weighted 6-dof delta between
+        consecutive accepted motions (> 0.3 = mode-flipping capture).
+
+    ``alarms`` lists the tripped signals by name so an alert feed can
+    key on one field.  Stats lists from modes without a given signal
+    (BA/loop modes carry no per-frame sharpness; multistream had no
+    motion_jump before r5) yield null for it — keys never disappear.
+
+    Args:
+      stats: per-frame stat dicts (frame 0 included; it is skipped for
+        inlier/support aggregation like the reference skips frame 0).
+      frame_ok: (T,) bool array of per-frame success flags.
+      support_ratio_alarm, motion_jump_alarm: thresholds, normally from
+        ``HealthConfig`` (config.py).
+    """
+    sharps = [s["sharpness"] for s in stats if "sharpness" in s]
+    body = [s for s in stats[1:] if "num_inliers" in s]
+    inls = [s["num_inliers"] for s in body]
+    # support ratio only where the frame actually solved: a failed frame
+    # reports a meaningless 0/len ratio and would permanently latch the
+    # alarm that exists to catch SILENT (ok=true) capture
+    sups = [s["num_inliers"] / max(s["num_circle"], 1) for s in body
+            if s.get("ok") and s.get("num_circle", 0) > 0]
+    jumps = [s["motion_jump"] for s in stats if "motion_jump" in s]
+    sup_min = round(min(sups), 3) if sups else None
+    jump_max = round(max(jumps), 3) if jumps else None
+    alarms = []
+    if sup_min is not None and sup_min < support_ratio_alarm:
+        alarms.append("support_ratio")
+    if jump_max is not None and jump_max > motion_jump_alarm:
+        alarms.append("motion_jump")
+    frame_ok = np.asarray(frame_ok)
+    return {
+        "failed_frames": int((~frame_ok[1:]).sum()),
+        "sharpness_mean": (round(float(np.mean(sharps)), 5)
+                           if sharps else None),
+        "sharpness_min": (round(float(np.min(sharps)), 5)
+                          if sharps else None),
+        "inliers_mean": round(float(np.mean(inls)), 1) if inls else None,
+        "support_ratio_min": sup_min,
+        "motion_jump_max": jump_max,
+        "alarms": alarms,
+    }
+
+
 class MetricsLogger:
     """JSONL metrics sink (SURVEY.md §5.5).
 
