@@ -207,7 +207,61 @@ def _cmd_kitti(args):
                  "match all frame pairs in parallel)")
     extra = {}
     t0 = time.perf_counter()
-    if args.ba_window > 0:
+    if args.ba_window > 0 and args.loop_closure:
+        # composed back-end (r5): windowed BA locally, pose-graph loop
+        # closure globally — pipeline/ba_loop.py
+        from libviso_tpu.pipeline.ba_loop import run_windowed_ba_loop
+
+        bl_ckpt = None
+        if args.checkpoint_every > 0:
+            from libviso_tpu.utils.checkpoint import CheckpointManager
+
+            # separate subdir: the combined snapshot carries window
+            # progress AND the keyframe store (own layout)
+            bl_ckpt = CheckpointManager(
+                os.path.join(result_dir, "checkpoints", "ba_loop"),
+                every=args.checkpoint_every)
+        stride = (args.ba_stride if args.ba_stride > 0
+                  else max(args.ba_window // 2, 1))
+        from libviso_tpu.config import BAConfig
+        import dataclasses as _dc
+
+        ba_cfg = BAConfig(
+            window=args.ba_window, stride=stride,
+            outlier_px=args.ba_outlier_px, rerank_px=args.ba_rerank_px,
+            prior_strength=args.ba_prior,
+            min_cam_obs=args.ba_min_cam_obs,
+            gate=not args.ba_no_gate, holdout_modulus=args.ba_holdout)
+        if args.ba_gate_margin is not None:
+            ba_cfg = _dc.replace(ba_cfg, gate_margin=args.ba_gate_margin)
+        res = run_windowed_ba_loop(
+            list(stream), P1, P2, cfg, ba=ba_cfg,
+            keyframe_every=args.keyframe_every,
+            min_gap=args.loop_min_gap,
+            min_matches=args.loop_min_matches,
+            min_inliers=args.loop_min_inliers,
+            robust=args.loop_robust,
+            eviction=args.loop_eviction,
+            seed=args.seed, backend=args.backend,
+            checkpoint=bl_ckpt,
+            fingerprint_scope=f"{args.seq}:{args.begin}:{args.end}",
+            dbg_dir=(os.path.join(result_dir, "dbg")
+                     if args.save_debug else None))
+        stats = [{"frame": t, "ok": bool(res.frame_ok[t])}
+                 for t in range(len(res.poses))]
+        stats += [{"loop_candidate": c} for c in (res.candidates or [])]
+        extra["ba_windows"] = len(res.window_costs)
+        extra["ba_improved"] = sum(
+            1 for c in res.window_costs if c[2] and c[1] < c[0])
+        extra["loops"] = [
+            {"new": le.frame_new, "old": le.frame_old,
+             "inliers": le.num_inliers,
+             "edge_scale": (float(res.loop_edge_scale[i])
+                            if res.loop_edge_scale is not None
+                            and i < len(res.loop_edge_scale) else None)}
+            for i, le in enumerate(res.loops)]
+        extra["graph_cost"] = list(res.graph_cost)
+    elif args.ba_window > 0:
         # sliding-window BA mode (BASELINE config 4): needs random access
         # over the window, so frames are staged in memory
         from libviso_tpu.pipeline.windowed import run_windowed_ba
@@ -734,7 +788,10 @@ def main(argv=None):
     k.add_argument("--loop-closure", action="store_true",
                    help="detect revisits and remove accumulated drift "
                         "with pose-graph optimization (beyond-reference; "
-                        "docs/architecture.md)")
+                        "docs/architecture.md).  Combine with "
+                        "--ba-window for the composed back-end: "
+                        "windowed BA locally, pose-graph closure "
+                        "globally (pipeline/ba_loop.py)")
     k.add_argument("--keyframe-every", type=int, default=5,
                    help="loop closure: store a keyframe every N frames")
     k.add_argument("--loop-min-gap", type=int, default=20,

@@ -53,6 +53,11 @@ class TrackData(NamedTuple):
     m11_valid: jax.Array   # (T-1, N)
     circ_valid: jax.Array  # (T-1, N) circle-consistent transitions
     X: jax.Array           # (T, N, 3) camera-local triangulations
+    # left-view descriptors + Harris responses: the loop-closure
+    # keyframe summary needs them when the batched front-end feeds the
+    # composed BA+loop driver (pipeline/ba_loop.py)
+    d1: jax.Array          # (T, N, D)
+    kp1_response: jax.Array  # (T, N)
 
 
 def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
@@ -165,6 +170,7 @@ def build_batched_odometry(calib: Calib, F, cfg: PipelineConfig,
                 m11_idx=m11.idx, m11_valid=m11.valid,
                 circ_valid=circ.valid,
                 X=X,
+                d1=d1, kp1_response=kp1.response,
             )
             return out, tracks
         return out

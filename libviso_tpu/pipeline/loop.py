@@ -77,42 +77,52 @@ class LoopClosureResult:
     processed: int = 0
 
 
-def _build_summarize(budget: int, desc_dim: int, normalize: bool):
-    """jit: FrameState -> compact keyframe (desc, obs, X, valid).
+def summarize_keyframe(xy1, xy2, desc_all, response, usable, mlr_idx,
+                       X_all, budget: int, desc_dim: int,
+                       normalize: bool):
+    """Compact-keyframe summary from per-frame slot arrays.
+
+    Front-end-agnostic core (r5): the streaming driver feeds FrameState
+    fields (``_build_summarize``), the composed BA+loop driver feeds
+    TrackData rows (pipeline/ba_loop.py) — both produce bitwise the
+    same keyframe for the same frame.
 
     ``normalize`` re-signs the stored descriptors as zero-mean unit-L2
     vectors over their REAL dims (the 121->128 pad stays zero): Sobel
     responses are already bias-free, so unit-norm adds the missing GAIN
     invariance — revisit detection then survives exposure/illumination
-    change between visits (VERDICT r1 #4b), which raw patch distances do
-    not (a 1.3x gain scales every L1 distance by 1.3x and breaks the
+    change between visits (VERDICT r1 #4b), which raw patch distances
+    do not (a 1.3x gain scales every L1 distance by 1.3x and breaks the
     cross-keyframe score comparison).
     """
+    score = jnp.where(usable, response, -jnp.inf)
+    _, top = jax.lax.top_k(score, budget)
+    valid = jnp.take_along_axis(usable, top, axis=0)
+    desc = desc_all[top]
+    if normalize:
+        d = desc[:, :desc_dim]
+        d = d - d.mean(axis=-1, keepdims=True)
+        d = d / jnp.maximum(
+            jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+        # uniform rescale: invariant for L1/L2 match semantics (the
+        # ratio test is scale-free) but REQUIRED for the l2q8 metric,
+        # whose int8 quantization step (round(d/8)) maps unit-norm
+        # values (~±0.1) to all-zero descriptors otherwise
+        desc = jnp.zeros_like(desc).at[:, :desc_dim].set(d * 1024.0)
+    r_safe = jnp.clip(mlr_idx[top], 0, xy2.shape[0] - 1)
+    obs = jnp.concatenate([xy1[top], xy2[r_safe]], axis=-1)
+    return xy1[top], desc, obs, X_all[top], valid
+
+
+def _build_summarize(budget: int, desc_dim: int, normalize: bool):
+    """jit: FrameState -> compact keyframe (see summarize_keyframe)."""
 
     def summarize(state):
         # usable slots: detected, stereo-matched, triangulated
         usable = state.kp1.valid & state.X_valid
-        score = jnp.where(usable, state.kp1.response, -jnp.inf)
-        _, top = jax.lax.top_k(score, budget)
-        valid = jnp.take_along_axis(usable, top, axis=0)
-        desc = state.d1[top]
-        if normalize:
-            d = desc[:, :desc_dim]
-            d = d - d.mean(axis=-1, keepdims=True)
-            d = d / jnp.maximum(
-                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
-            # uniform rescale: invariant for L1/L2 match semantics (the
-            # ratio test is scale-free) but REQUIRED for the l2q8 metric,
-            # whose int8 quantization step (round(d/8)) maps unit-norm
-            # values (~±0.1) to all-zero descriptors otherwise
-            desc = jnp.zeros_like(desc).at[:, :desc_dim].set(d * 1024.0)
-        r_safe = jnp.clip(state.match_lr[top], 0,
-                          state.kp2.xy.shape[0] - 1)
-        obs = jnp.concatenate([state.kp1.xy[top],
-                               state.kp2.xy[r_safe]], axis=-1)
-        X = state.X[top]
-        xy = state.kp1.xy[top]
-        return xy, desc, obs, X, valid
+        return summarize_keyframe(
+            state.kp1.xy, state.kp2.xy, state.d1, state.kp1.response,
+            usable, state.match_lr, state.X, budget, desc_dim, normalize)
 
     return jax.jit(summarize)
 

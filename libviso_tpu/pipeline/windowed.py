@@ -136,6 +136,16 @@ def _dump_window_debug(dbg_dir, frames, s, lo, e, tracks):
                 p(f"temporal_{t:03d}.jpg"))
 
 
+def window_starts(T, window, stride):
+    """Window start indices covering [0, T) (tail always covered)."""
+    starts = list(range(0, max(T - window, 0) + 1, stride))
+    if not starts:
+        starts = [0]
+    if starts[-1] + window < T:
+        starts.append(T - window)
+    return starts
+
+
 @dataclasses.dataclass
 class WindowedResult:
     poses: np.ndarray       # (T, 4, 4) BA-refined trajectory
@@ -164,7 +174,9 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
                     gate: bool = None,
                     holdout_modulus: int = None,
                     gate_margin: float = None,
-                    dbg_dir=None) -> WindowedResult:
+                    dbg_dir=None,
+                    on_window=None,
+                    extra_checkpoint=None) -> WindowedResult:
     """Stereo VO + sliding-window BA over a full sequence.
 
     Args:
@@ -198,6 +210,16 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         clean runs where the BA posterior re-fits texture-phase drift.
         ``holdout_modulus`` 0 gates on all masked observations; m>1
         holds every m-th landmark out of BA and gates on those.
+      on_window: optional callback ``(w, s, e, tracks, motions, oks)``
+        invoked after window w's motions are stitched (the composed
+        BA+loop driver summarizes keyframes from ``tracks`` here —
+        pipeline/ba_loop.py).  ``motions``/``oks`` are live views of
+        the accumulating arrays.
+      extra_checkpoint: optional object with ``leaves()``, ``stats()``,
+        and ``restore(leaves, stats, next_window)`` — additional state
+        snapshotted/restored alongside the window progress (the loop
+        engine's keyframe store).  Changes the snapshot layout, so it
+        participates in the fingerprint scope (callers add a mode tag).
     """
     if window is None:
         window = ba.window
@@ -277,12 +299,7 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
     motions_vo = np.zeros((T, 6), np.float32)
     window_costs = []
 
-    starts = list(range(0, max(T - window, 0) + 1, stride))
-    if not starts:
-        starts = [0]
-    # ensure the tail is covered
-    if starts[-1] + window < T:
-        starts.append(T - window)
+    starts = window_starts(T, window, stride)
 
     w0 = 0
     fingerprint = None
@@ -314,17 +331,26 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
             motions = np.array(ck.motions, np.float32)
             oks = np.array(ck.oks, bool)
             motions_vo = np.array(ck.state_leaves[0], np.float32)
-            window_costs = [tuple(c) for c in ck.stats]
+            if extra_checkpoint is not None:
+                window_costs = [tuple(c) for c in ck.stats[0]]
+                extra_checkpoint.restore(ck.state_leaves[1:],
+                                         ck.stats[1], w0)
+            else:
+                window_costs = [tuple(c) for c in ck.stats]
 
     def _snapshot(next_window):
         from libviso_tpu.utils.checkpoint import Checkpoint
 
+        wc = [list(c) for c in window_costs]
         checkpoint.save(Checkpoint(
             next_frame=next_window,
             motions=motions.astype(np.float64),
             oks=oks,
-            state_leaves=[motions_vo],
-            stats=[list(c) for c in window_costs],
+            state_leaves=([motions_vo] + extra_checkpoint.leaves()
+                          if extra_checkpoint is not None
+                          else [motions_vo]),
+            stats=([wc, extra_checkpoint.stats()]
+                   if extra_checkpoint is not None else wc),
             fingerprint=fingerprint,
         ))
 
@@ -380,6 +406,12 @@ def run_windowed_ba(frames, P1, P2, cfg: PipelineConfig = PipelineConfig(),
         # requires the front-end to have observed the frame at all.
         constrained = np.asarray(out.num_circle)[1:] >= cfg.min_circle_matches
         oks[s + 1:e] = out_ok[1:] | (motion_ok[1:] & constrained)
+        if on_window is not None:
+            # AFTER stitching, BEFORE the snapshot: the composed driver
+            # must offer this window's keyframes before any checkpoint
+            # that claims window w is done (a snapshot between would
+            # resume without them and diverge)
+            on_window(w, s, e, tracks, motions, oks)
         if checkpoint is not None and (w + 1) % checkpoint.every == 0:
             _snapshot(w + 1)
 
