@@ -75,6 +75,11 @@ class LoopClosureResult:
     # frames computed THIS run (excludes checkpoint-restored frames) —
     # drivers report fps over this, not the restored span
     processed: int = 0
+    # store diagnostics (r5 soak): keyframes offered over the run, and
+    # spatial-eviction activity once the store is full
+    keyframes_offered: int = 0
+    evictions: int = 0
+    store_skipped: int = 0
 
 
 def summarize_keyframe(xy1, xy2, desc_all, response, usable, mlr_idx,
@@ -279,6 +284,15 @@ class LoopEngine:
             cfg.ransac,
             num_hypotheses=max(256, cfg.ransac.num_hypotheses),
             gn_lm_lambda=1e-3)
+        # JITTED verification solver (r5 soak finding): the eager
+        # (op-by-op) ransac_pose path leaks ~10 MB of host memory PER
+        # CALL on this jax build (measured: 30 eager calls -> +300 MB
+        # RSS, flat under jit) — at keyframe cadence that was ~10
+        # MB/frame of unbounded growth on long runs.  Shapes are fixed
+        # by the store layout, so this compiles once.
+        self._verify_pose = jax.jit(
+            lambda key, X, obs, valid: ransac_pose(
+                key, X, obs, valid, calib, self.verify_ransac))
         self.guided = _build_guided_matcher(cfg, keyframe_budget,
                                             backend, calib, guided_radius)
         # fixed-shape keyframe store (slot ring; kf_frame[i] = -1 empty)
@@ -295,6 +309,11 @@ class LoopEngine:
         self.n_kf = 0
         self.loops: list = []
         self.candidates: list = []
+        # soak/ops counters (not checkpointed — diagnostics only):
+        # spatial evictions performed, and new keyframes skipped because
+        # they were themselves the redundant member of the closest pair
+        self.evicted = 0
+        self.store_skipped = 0
 
     def offer(self, t, xy, desc, obs, X, valid, pos_fn):
         """Process keyframe-cadence frame ``t``: search the store for a
@@ -328,10 +347,9 @@ class LoopEngine:
                 safe = np.clip(m_idx, 0, budget - 1)
                 Xp = self.kf_X[best][safe]
                 pts_valid = m_valid & (m_idx >= 0)
-                est = ransac_pose(
+                est = self._verify_pose(
                     jax.random.fold_in(key, 1_000_000 + t),
-                    jnp.asarray(Xp), obs, jnp.asarray(pts_valid),
-                    self.calib, self.verify_ransac)
+                    jnp.asarray(Xp), obs, jnp.asarray(pts_valid))
                 diag = {
                     "frame_new": t,
                     "frame_old": int(self.kf_frames[best]),
@@ -391,12 +409,11 @@ class LoopEngine:
                         g_val = g_val & mutual
                     # g maps OLD slot -> NEW slot: solve old 3D vs the
                     # matched new stereo observations
-                    est2 = ransac_pose(
+                    est2 = self._verify_pose(
                         jax.random.fold_in(key, 2_000_000 + 2 * t + it),
                         jnp.asarray(self.kf_X[best]),
                         jnp.asarray(np.asarray(obs)[safe2]),
-                        jnp.asarray(g_val), self.calib,
-                        self.verify_ransac)
+                        jnp.asarray(g_val))
                     diag.setdefault("refine_trace", []).append(
                         (int(g_val.sum()), int(est2.num_inliers)))
                 diag["refined_inliers"] = int(est2.num_inliers)
@@ -423,6 +440,10 @@ class LoopEngine:
         pos_t = pos_fn()
         if self.n_kf >= self.max_keyframes and self.eviction == "spatial":
             slot = _spatial_evict_slot(self.kf_pos, self.kf_frames, pos_t)
+            if slot >= 0:
+                self.evicted += 1
+            else:
+                self.store_skipped += 1
         else:
             slot = self.n_kf % self.max_keyframes
         if slot >= 0:
@@ -757,4 +778,7 @@ def run_with_loop_closure(frames, P1, P2,
                              graph_cost=graph_cost,
                              loop_edge_scale=loop_scale,
                              candidates=engine.candidates,
-                             processed=max(0, len(motions) - t0))
+                             processed=max(0, len(motions) - t0),
+                             keyframes_offered=engine.n_kf,
+                             evictions=engine.evicted,
+                             store_skipped=engine.store_skipped)
