@@ -15,6 +15,7 @@ Both trajectories are scored against the exact ground-truth poses with
 the same `utils/metrics.py::ate_rmse`.  Usage:
 
     python benchmarks/world_head_to_head.py [--frames 20] [--force-render]
+        [--texture=facade|brick|foliage|glass|photo]   (r5 classes)
 
 Renders once into $WORLD_H2H_HOME (default /tmp/world_h2h) and reuses the
 PNGs on re-runs.  Prints one JSON line per engine plus a summary line.
@@ -44,12 +45,13 @@ def _flag(name, default):
     return default
 
 
-def render(num_frames):
+def render(num_frames, texture="facade"):
     from PIL import Image
 
     from libviso_tpu.synthetic_world import generate_world_sequence
 
-    base = os.path.join(HOME, "sequences", SEQ)
+    home = HOME if texture == "facade" else f"{HOME}_{texture}"
+    base = os.path.join(home, "sequences", SEQ)
     done = os.path.join(base, ".rendered")
     if os.path.exists(done) and "--force-render" not in sys.argv:
         n = int(open(done).read())
@@ -61,7 +63,7 @@ def render(num_frames):
     t0 = time.time()
     seq = generate_world_sequence(
         num_frames=num_frames, seed=0, width=1241, height=376,
-        f=718.856, base=0.5371657, speed=0.8)
+        f=718.856, base=0.5371657, speed=0.8, wall_texture=texture)
     print(f"rendered {num_frames} stereo frames in {time.time()-t0:.0f}s",
           file=sys.stderr)
     with open(os.path.join(base, "calib.txt"), "w") as fp:
@@ -91,10 +93,12 @@ def _ate(poses_file, gt):
 
 def main():
     num_frames = int(_flag("frames", "20"))
-    base = render(num_frames)
+    texture = _flag("texture", "facade")
+    base = render(num_frames, texture)
     gt = np.load(os.path.join(base, "gt_poses.npy"))
 
-    env = dict(os.environ, KITTI_HOME=HOME)
+    home = HOME if texture == "facade" else f"{HOME}_{texture}"
+    env = dict(os.environ, KITTI_HOME=home)
 
     # --- reference C++ (self-times its loop; we also wall-clock it)
     t0 = time.time()
@@ -104,7 +108,7 @@ def main():
     if ref.returncode != 0:
         print(ref.stderr[-2000:], file=sys.stderr)
         raise SystemExit(f"reference binary failed rc={ref.returncode}")
-    ref_poses = os.path.join(HOME, "results", SEQ, "refworld", "data",
+    ref_poses = os.path.join(home, "results", SEQ, "refworld", "data",
                              f"{SEQ}.txt")
     ate_ref, n_ref = _ate(ref_poses, gt)
     print(json.dumps({"engine": "reference_cpp", "ate_rmse_m": ate_ref,
@@ -121,7 +125,7 @@ def main():
     if ours.returncode != 0:
         print(ours.stderr[-2000:], file=sys.stderr)
         raise SystemExit(f"cli kitti failed rc={ours.returncode}")
-    ours_poses = os.path.join(HOME, "results", SEQ, "oursworld", "data",
+    ours_poses = os.path.join(home, "results", SEQ, "oursworld", "data",
                               f"{SEQ}.txt")
     ate_ours, n_ours = _ate(ours_poses, gt)
     print(json.dumps({"engine": "libviso_tpu", "ate_rmse_m": ate_ours,
@@ -130,6 +134,7 @@ def main():
 
     print(json.dumps({
         "summary": "world_head_to_head",
+        "texture": texture,
         "frames": num_frames,
         "ate_reference_m": round(ate_ref, 4),
         "ate_ours_m": round(ate_ours, 4),

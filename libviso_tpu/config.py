@@ -349,6 +349,24 @@ class MonoConfig:
     # are thin, so it stays OPT-IN (docs/performance.md "Monocular
     # path").
     first_pass: str = "same"
+    # RANSAC hypothesis-selection quality (r5 estimator round,
+    # geometry/essential.py::ransac_essential): 'msac' = truncated
+    # quadratic at sampson_thresh (r2-r4 behavior); 'magsac' =
+    # sigma-marginalized (MSAC quality averaged over a tau/4..4tau
+    # threshold ladder) — selection stops depending on one threshold
+    # guess.  Measured (benchmarks/mono_estimator_battery.py, 5 regimes
+    # x 5 seeds = 25 paired rows): magsac + soft_refit cuts the
+    # default path's overall median sim3 ATE 37% (0.0424 -> 0.0269) at
+    # zero cost — wins 16/25 pairs outright, paired median ratio 0.91,
+    # worst single-pair regression +39% — and does NOT rescue the
+    # cheap 8pt gate pass
+    # on sparse configs (its regression is the model class, not
+    # selection noise), so the fast knobs stay opt-in and the speed
+    # boundary stands (docs/performance.md "Monocular path").
+    scoring: str = "magsac"
+    # Continuous truncated-linear refit weights instead of 0/1 inliers
+    # (chi^2-style downweighting of near-threshold points).
+    soft_refit: bool = True
     # Gauss-Newton Sampson-error polish of (R, t) on its 5-dof manifold
     # after cheirality voting (geometry/essential.py::refine_relative_pose).
     # The linear RANSAC refit leaves the translation direction degrees off

@@ -198,7 +198,9 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
         est1 = ransac_essential(k1, xn_cur, xn_prev, valid=m.valid,
                                 num_hypotheses=fp_hyp,
                                 sampson_thresh=mono.sampson_thresh,
-                                method=fp_method)
+                                method=fp_method,
+                                scoring=mono.scoring,
+                                soft_refit=mono.soft_refit)
 
         # epipolar re-match under the induced fundamental matrix
         F = jnp.asarray(Kinv.T, jnp.float32) @ est1.E @ jnp.asarray(
@@ -216,7 +218,9 @@ def build_mono_step(K, cfg: PipelineConfig, mono: MonoConfig = None,
         est2 = ransac_essential(k2, xn_cur2, xn_prev2, valid=m2.valid,
                                 num_hypotheses=n_hyp,
                                 sampson_thresh=mono.sampson_thresh,
-                                method=mono.method)
+                                method=mono.method,
+                                scoring=mono.scoring,
+                                soft_refit=mono.soft_refit)
 
         R, t, good, n_good = recover_pose(est2.E, xn_cur2, xn_prev2,
                                           valid=est2.inliers)

@@ -129,3 +129,50 @@ def test_undistort_points_inverts_distortion():
     got = np.asarray(undistort_points(jnp.asarray(pix, jnp.float32), K, D,
                                       iters=8))
     np.testing.assert_allclose(got, u, atol=2e-4)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_magsac_scoring_beats_msac_on_rich_mono_regime():
+    """r5 estimator round (VERDICT r4 #5): sigma-marginalized scoring +
+    soft chi^2 refit weights cut the default mono path's overall median
+    sim3 ATE 37% over 25 paired (regime, seed) rows
+    (benchmarks/mono_estimator_battery_r5.jsonl).  Pins the clearest
+    pair (rich regime, seed 3: 0.0556 -> 0.0194, a 2.9x improvement)
+    plus a no-harm bound on a near-tied pair (seed 11)."""
+    import pytest
+
+    pytest.importorskip("scipy")
+    from libviso_tpu.config import MonoConfig
+    from libviso_tpu.pipeline.mono import run_mono_sequence
+    from libviso_tpu.synthetic import generate_sequence
+    from libviso_tpu.utils.metrics import ate_rmse
+
+    K = np.array([[360.0, 0.0, 208.0], [0.0, 360.0, 80.0],
+                  [0.0, 0.0, 1.0]])
+    T = 8
+    speeds = np.array([0.0, 0.8, 0.5, 1.1, 0.7, 1.2, 0.6, 1.0])
+    traj = np.zeros((T, 6))
+    traj[:, 5] = speeds
+    traj[1:, 1] = 0.004
+    out = {}
+    for seed in (3, 11):
+        seq = generate_sequence(num_frames=T, num_points=1200, seed=seed,
+                                width=416, height=160, f=360.0,
+                                trajectory=traj, subpixel_render=True,
+                                pattern_smooth=1.0, patch=9)
+        frames = [f[0] for f in seq.frames]
+        for name, mono in (("msac", MonoConfig(scoring="msac",
+                                               soft_refit=False)),
+                           ("mag", MonoConfig(scoring="magsac",
+                                              soft_refit=True))):
+            res = run_mono_sequence(frames, K, seed=seed, mono=mono)
+            assert res.frame_ok[1:].all(), (name, seed)
+            out[(name, seed)] = float(ate_rmse(res.poses, seq.gt_poses,
+                                               align="sim3"))
+    # the measured 2.9x win, generous margin for draw shifts
+    assert out[("mag", 3)] < out[("msac", 3)] * 0.7, out
+    # no harm where the r4 estimator was already good
+    assert out[("mag", 11)] < out[("msac", 11)] * 1.6 + 0.01, out
