@@ -64,6 +64,10 @@ class BALoopResult:
     loop_edge_scale: np.ndarray = None
     candidates: list = None
     processed: int = 0
+    # store diagnostics (soak parity with LoopClosureResult)
+    keyframes_offered: int = 0
+    evictions: int = 0
+    store_skipped: int = 0
 
 
 class _EngineCheckpoint:
@@ -203,4 +207,6 @@ def run_windowed_ba_loop(frames, P1, P2,
         motions=res.motions, frame_ok=res.frame_ok,
         window_costs=res.window_costs, loops=engine.loops,
         graph_cost=graph_cost, loop_edge_scale=loop_scale,
-        candidates=engine.candidates, processed=res.processed)
+        candidates=engine.candidates, processed=res.processed,
+        keyframes_offered=engine.n_kf, evictions=engine.evicted,
+        store_skipped=engine.store_skipped)
