@@ -187,6 +187,15 @@ def holdout_gate(poses_cand, poses_base, X0, obs, hold_mask, calib,
     and rare but nonzero — r4's "never-worse" reading was a 24-row
     sample artifact of near-total rejection.
 
+    Known blind spot, quantified (r4 weak #7 — benchmarks/
+    ba_landmark_mediation.py): 64% of full BA's mean ATE gain is
+    LANDMARK-mediated, which a frozen-X0 pose statistic cannot see
+    (pose-only BA against X0 captures only 36% of the gain and can
+    actively harm).  Hence the lenient margin: demanding a large
+    clear win on this statistic would reject most genuine
+    improvements, which is exactly what the r4 0.85-both-halves
+    criterion did.
+
     Windows with fewer than ``min_holdout`` held-out observations per
     half carry no independent evidence and are REJECTED (the caller
     falls back to the VO motions — the conservative default).
@@ -229,7 +238,8 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
                           outlier_px=30.0, rerank_px=2.0,
                           pose_prior=None, prior_weight=None,
                           holdout_modulus=0,
-                          holdout_margin=0.90) -> WindowRefinement:
+                          holdout_margin=0.90,
+                          freeze_landmarks=False) -> WindowRefinement:
     """Run BA on a window and convert refined poses back to per-frame
     motions.  Returns a WindowRefinement.
 
@@ -288,7 +298,8 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
     coarse = bundle_adjust(problem.poses0, problem.X0, problem.obs, mask,
                            calib, iters=iters, damping=damping,
                            pose_prior=pose_prior,
-                           prior_weight=prior_weight)
+                           prior_weight=prior_weight,
+                           freeze_landmarks=freeze_landmarks)
     predict2, _ = _project_all(coarse.poses, coarse.landmarks, calib)
     err2b = jnp.sum((problem.obs - predict2) ** 2, axis=-1)
     mask2 = mask & (err2b < rerank_px**2)
@@ -296,7 +307,8 @@ def refine_window_motions(problem: WindowProblem, calib: Calib,
     mask2 = mask2 & keep2[None]
     res = bundle_adjust(coarse.poses, coarse.landmarks, problem.obs, mask2,
                         calib, iters=iters, damping=damping,
-                        pose_prior=pose_prior, prior_weight=prior_weight)
+                        pose_prior=pose_prior, prior_weight=prior_weight,
+                        freeze_landmarks=freeze_landmarks)
     # report before/after on the same (final) mask so they are comparable
     from libviso_tpu.solvers.bundle_adjust import ba_cost
 

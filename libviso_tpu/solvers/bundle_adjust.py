@@ -105,7 +105,8 @@ def ba_cost(poses, X, obs, mask, calib: Calib, pose_prior=None,
 
 def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
                   damping: float = 1e-4, fix_first: bool = True,
-                  pose_prior=None, prior_weight=None) -> BAResult:
+                  pose_prior=None, prior_weight=None,
+                  freeze_landmarks: bool = False) -> BAResult:
     """Damped Gauss-Newton window BA with Schur elimination of landmarks.
 
     Args:
@@ -124,6 +125,13 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         Schur-reduced pose system as a block-diagonal addition to U.
       prior_weight: (W, 6) nonneg per-dof weights in px^2-per-unit^2
         (0 rows disable the prior for that pose).
+      freeze_landmarks: optimize POSES ONLY against the fixed ``X0``
+        (landmark updates zeroed; the Schur system degenerates to the
+        U-block).  Diagnostic mode (r5, VERDICT r4 weak #7): comparing
+        full BA vs frozen-landmark BA separates gains the acceptance
+        gate can see (pose-mediated, visible to the frozen-X0 holdout)
+        from gains it is structurally blind to (landmark-mediated) —
+        benchmarks/ba_landmark_mediation.py.
 
     Returns BAResult; invalid/ill-conditioned steps are skipped (the
     iteration keeps the previous iterate), so the result never diverges
@@ -162,17 +170,24 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         U = U + lam * jnp.eye(6, dtype=dtype)
         V = V + lam * jnp.eye(3, dtype=dtype)
 
-        # landmark elimination (batched 3x3 inverse)
-        Vinv = jnp.linalg.inv(V)                     # (L, 3, 3)
-        WVinv = jnp.einsum("wlij,ljk->wlik", Wkj, Vinv,
-                           precision="highest")      # (W, L, 6, 3)
-        # S is block-dense over pose pairs: (W, W, 6, 6)
-        S_off = jnp.einsum("alik,bljk->abij", WVinv, Wkj,
-                           precision="highest")
-        S = -S_off
-        S = S.at[jnp.arange(W), jnp.arange(W)].add(U)
-        rhs = b_p - jnp.einsum("wlik,lk->wi", WVinv, b_l,
+        if freeze_landmarks:
+            # pose-only GN: the system is block-diagonal in poses
+            S = jnp.zeros((W, W, 6, 6), dtype)
+            S = S.at[jnp.arange(W), jnp.arange(W)].add(U)
+            rhs = b_p
+            Vinv = jnp.zeros_like(V)
+        else:
+            # landmark elimination (batched 3x3 inverse)
+            Vinv = jnp.linalg.inv(V)                     # (L, 3, 3)
+            WVinv = jnp.einsum("wlij,ljk->wlik", Wkj, Vinv,
+                               precision="highest")      # (W, L, 6, 3)
+            # S is block-dense over pose pairs: (W, W, 6, 6)
+            S_off = jnp.einsum("alik,bljk->abij", WVinv, Wkj,
                                precision="highest")
+            S = -S_off
+            S = S.at[jnp.arange(W), jnp.arange(W)].add(U)
+            rhs = b_p - jnp.einsum("wlik,lk->wi", WVinv, b_l,
+                                   precision="highest")
 
         # gauge: zero out frozen pose rows/cols, identity on the diagonal
         free = pose_free
@@ -184,10 +199,14 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         Sd = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
         step_p = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(W, 6)
         step_p = step_p * free[:, None]
-        # back-substitute landmarks: dX = V^-1 (b_l - W' dp)
-        Wt_dp = jnp.einsum("wlij,wi->lj", Wkj, step_p, precision="highest")
-        step_l = jnp.einsum("lij,lj->li", Vinv, b_l - Wt_dp,
-                            precision="highest")
+        if freeze_landmarks:
+            step_l = jnp.zeros_like(X)
+        else:
+            # back-substitute landmarks: dX = V^-1 (b_l - W' dp)
+            Wt_dp = jnp.einsum("wlij,wi->lj", Wkj, step_p,
+                               precision="highest")
+            step_l = jnp.einsum("lij,lj->li", Vinv, b_l - Wt_dp,
+                                precision="highest")
 
         new_poses = poses + step_p
         new_X = X + step_l

