@@ -87,5 +87,19 @@ wres2 = run_stereo_sequence(wseq.frames, wseq.P1, wseq.P2, cfg, seed=0)
 print(f"world: solved {int(wres2.frame_ok.sum())}/{len(wres2.poses) - 1}, "
       f"ATE {ate_rmse(wres2.poses, wseq.gt_poses):.4f} m")
 
+# --- composed back-end (r5): windowed BA locally + pose-graph loop
+# closure globally over ONE front-end pass (pipeline/ba_loop.py;
+# measured vs its parts in benchmarks/ba_loop_world_battery.py).
+from libviso_tpu.config import BAConfig
+from libviso_tpu.pipeline.ba_loop import run_windowed_ba_loop
+
+cres = run_windowed_ba_loop(list(seq.frames), seq.P1, seq.P2, cfg,
+                            ba=BAConfig(window=4, stride=2),
+                            keyframe_every=3, min_gap=4, min_matches=20,
+                            min_inliers=10, seed=0)
+print(f"composed BA+loop: ATE {ate_rmse(cres.poses, seq.gt_poses):.4f} m"
+      f" ({len(cres.loops)} loop edges, "
+      f"{len(cres.window_costs)} BA windows)")
+
 assert ate_rmse(res.poses, seq.gt_poses) < 0.1
 print("ok")
