@@ -103,3 +103,42 @@ def test_glass_world_trips_support_alarm_and_nms_defends():
     ate_d = float(ate_rmse(res_d.poses, seq.gt_poses))
     assert ate_d < ate  # measured: 0.644 -> 0.557 on this seed; other
     #                     seeds recover 3-10x (docs/realism.md)
+
+
+@pytest.mark.slow
+def test_loop_verification_rejects_brick_aliases():
+    """Loop closure on a brick-walled plaza — the repetitive-lattice
+    worst case for appearance aliasing (docs/realism.md r5: 8 runs
+    across texture classes produced ZERO false edges).  Pins the brick
+    case: the circuit closes through a geometrically TRUE edge."""
+    import jax
+
+    from libviso_tpu.config import (
+        DetectorConfig,
+        PipelineConfig,
+        RansacConfig,
+    )
+    from libviso_tpu.pipeline.loop import run_with_loop_closure
+    from libviso_tpu.synthetic import _pose_matrix_np
+    from libviso_tpu.synthetic_world import generate_plaza_sequence
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(max_features=480, nbinx=12, nbiny=4,
+                                num_slots=512),
+        ransac=RansacConfig(num_hypotheses=32))
+    seq = generate_plaza_sequence(num_frames=41, seed=0,
+                                  wall_texture="brick")
+    res = run_with_loop_closure(list(seq.frames), seq.P1, seq.P2,
+                                cfg=cfg, keyframe_every=4, min_gap=20,
+                                min_matches=60, min_inliers=30, seed=0)
+    assert len(res.loops) >= 1
+    gt = seq.gt_poses
+    for le in res.loops:
+        T_true = np.linalg.inv(gt[le.frame_new]) @ gt[le.frame_old]
+        T_est = _pose_matrix_np(le.tr)
+        assert np.linalg.norm(T_est[:3, 3] - T_true[:3, 3]) < 0.2, \
+            (le.frame_new, le.frame_old)
+    # and the closure actually lands the endpoint
+    ep_vo = np.linalg.norm(res.poses_vo[-1, :3, 3] - gt[-1, :3, 3])
+    ep = np.linalg.norm(res.poses[-1, :3, 3] - gt[-1, :3, 3])
+    assert ep < 0.2 * ep_vo, (ep_vo, ep)
