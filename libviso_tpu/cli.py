@@ -734,6 +734,15 @@ def _cmd_eval(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="libviso_tpu")
+    p.add_argument(
+        "--platform", default=None, metavar="P",
+        help="force the jax platform (e.g. 'cpu', 'tpu') BEFORE any "
+             "backend touch.  Needed on hosts whose site configuration "
+             "registers an accelerator plugin that initializes even "
+             "under JAX_PLATFORMS overrides (this container's tunneled "
+             "TPU does: with the tunnel down, every run would otherwise "
+             "hang at the first device_put — measured r5).  Global "
+             "flag: place it BEFORE the subcommand")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     k = sub.add_parser("kitti", help="KITTI stereo odometry (kitti.cpp analog)")
@@ -911,6 +920,10 @@ def main(argv=None):
     e.set_defaults(fn=_cmd_eval)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 
