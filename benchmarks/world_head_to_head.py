@@ -115,11 +115,18 @@ def main():
                       "frames": n_ref,
                       "wall_s_incl_io": round(ref_wall, 1)}), flush=True)
 
-    # --- ours (same argv/env contract; backend = whatever jax has)
+    # --- ours (same argv/env contract; backend = whatever jax has).
+    # Propagate an explicit JAX_PLATFORMS choice as --platform: the env
+    # var alone cannot stop this container's axon plugin from
+    # initializing its (possibly unreachable) tunnel client (cli.py
+    # --platform rationale, r5).
+    plat = ([] if os.environ.get("JAX_PLATFORMS") in (None, "", "axon")
+            else ["--platform", os.environ["JAX_PLATFORMS"]])
     t0 = time.time()
     ours = subprocess.run(
-        [sys.executable, "-m", "libviso_tpu.cli", "kitti", "oursworld",
-         SEQ], env=env, capture_output=True, text=True, timeout=3600,
+        [sys.executable, "-m", "libviso_tpu.cli", *plat, "kitti",
+         "oursworld", SEQ], env=env, capture_output=True, text=True,
+        timeout=3600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ours_wall = time.time() - t0
     if ours.returncode != 0:
