@@ -579,6 +579,14 @@ def generate_world_sequence(num_frames=8, seed=0, width=620, height=188,
     `gt_projections` is None (there are no discrete landmarks).
     ``movers``: dynamic textured planes rendered at
     ``origin + k*velocity`` per frame (make_truck_mover).
+
+    Long drives: the default ``yaw_rate`` (0.004 rad/frame) is tuned
+    for <=16-frame battery drives; past ~100 frames the accumulated
+    turn steers the camera THROUGH the street's side wall (measured
+    r5: 161-frame drive, ATE 18 m of "drift" that was really the
+    camera exiting the scene).  Pass ``yaw_rate=0`` (or an explicit
+    trajectory) for long street drives; the plaza generator is the
+    long-circuit oracle.
     """
     rng = np.random.default_rng(seed)
     cu, cv = width / 2.0, height / 2.0
