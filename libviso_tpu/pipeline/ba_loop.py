@@ -126,7 +126,6 @@ def run_windowed_ba_loop(frames, P1, P2,
     the composition semantics.
     """
     import jax
-    import jax.numpy as jnp
 
     frames = list(frames)
     T = len(frames)

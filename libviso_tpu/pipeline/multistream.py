@@ -39,7 +39,6 @@ mode.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import List, Sequence
 
