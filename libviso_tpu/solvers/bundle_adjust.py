@@ -106,7 +106,8 @@ def ba_cost(poses, X, obs, mask, calib: Calib, pose_prior=None,
 def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
                   damping: float = 1e-4, fix_first: bool = True,
                   pose_prior=None, prior_weight=None,
-                  freeze_landmarks: bool = False) -> BAResult:
+                  freeze_landmarks: bool = False,
+                  freeze_poses: bool = False) -> BAResult:
     """Damped Gauss-Newton window BA with Schur elimination of landmarks.
 
     Args:
@@ -132,6 +133,11 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         gate can see (pose-mediated, visible to the frozen-X0 holdout)
         from gains it is structurally blind to (landmark-mediated) —
         benchmarks/ba_landmark_mediation.py.
+      freeze_poses: optimize LANDMARKS ONLY under the fixed poses
+        (pose steps zeroed; each landmark solves its independent 3x3
+        system).  Used by the cross-fit gate experiment
+        (benchmarks/ba_gate_crossfit.py): refit landmarks per pose set
+        on training frames, test generalization on held-out frames.
 
     Returns BAResult; invalid/ill-conditioned steps are skipped (the
     iteration keeps the previous iterate), so the result never diverges
@@ -170,7 +176,15 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         U = U + lam * jnp.eye(6, dtype=dtype)
         V = V + lam * jnp.eye(3, dtype=dtype)
 
-        if freeze_landmarks:
+        if freeze_poses:
+            # landmark-only GN: independent 3x3 solves, pose step zero
+            S = jnp.broadcast_to(jnp.eye(6, dtype=dtype)[None, None],
+                                 (W, W, 6, 6)) * 0.0
+            S = S.at[jnp.arange(W), jnp.arange(W)].add(
+                jnp.eye(6, dtype=dtype))
+            rhs = jnp.zeros_like(b_p)
+            Vinv = jnp.linalg.inv(V)
+        elif freeze_landmarks:
             # pose-only GN: the system is block-diagonal in poses
             S = jnp.zeros((W, W, 6, 6), dtype)
             S = S.at[jnp.arange(W), jnp.arange(W)].add(U)
@@ -199,7 +213,11 @@ def bundle_adjust(poses0, X0, obs, mask, calib: Calib, iters: int = 10,
         Sd = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
         step_p = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(W, 6)
         step_p = step_p * free[:, None]
-        if freeze_landmarks:
+        if freeze_poses:
+            step_p = step_p * 0.0
+            step_l = jnp.einsum("lij,lj->li", Vinv, b_l,
+                                precision="highest")
+        elif freeze_landmarks:
             step_l = jnp.zeros_like(X)
         else:
             # back-substitute landmarks: dX = V^-1 (b_l - W' dp)
