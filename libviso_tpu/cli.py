@@ -676,7 +676,22 @@ def _cmd_mono(args):
 
         pcfg = dataclasses.replace(PipelineConfig.mono(),
                                    keep_features_on_failure=True)
-    res = run_mono_sequence(stream, K, cfg=pcfg, seed=args.seed, mono=mono)
+    summary = {}
+    if getattr(args, "sim3_loop", False):
+        from libviso_tpu.pipeline.mono_loop import run_mono_sim3_loop
+
+        res = run_mono_sim3_loop(stream, K, cfg=pcfg, seed=args.seed,
+                                 mono=mono, keyframe_every=args.kf_every,
+                                 min_gap=args.loop_min_gap)
+        summary["loops"] = [
+            {"frame_old": le.frame_old, "frame_new": le.frame_new,
+             "inliers": le.num_inliers, "scale": round(le.s_rel, 4)}
+            for le in res.loops]
+        summary["keyframes"] = len(res.kf_frames)
+        summary["graph_cost"] = [round(c, 6) for c in res.graph_cost]
+    else:
+        res = run_mono_sequence(stream, K, cfg=pcfg, seed=args.seed,
+                                mono=mono)
     dt = time.perf_counter() - t0
     if args.out:
         from libviso_tpu.io.kitti import save_poses_kitti
@@ -687,6 +702,7 @@ def _cmd_mono(args):
         "solved": int(res.frame_ok.sum()),
         "fps": n / dt if dt else None,
         "poses": args.out,
+        **summary,
         "note": ("monocular poses are correct up to one global scale "
                  "(relative scale propagated through shared landmarks)"
                  if mono.scale_propagation else
@@ -905,6 +921,16 @@ def main(argv=None):
                    help="transient-dropout recovery: hold the last good "
                         "frame's features across a failed solve "
                         "(docs/realism.md)")
+    m.add_argument("--sim3-loop", action="store_true",
+                   help="scale-drift-aware loop closure: Sim(3) pose "
+                        "graph over keyframe nodes with landmark-cloud "
+                        "Umeyama loop edges (pipeline/mono_loop.py; "
+                        "beyond-reference — the reference's mono path "
+                        "stops at src/viso.cpp:1393-1396)")
+    m.add_argument("--kf-every", type=int, default=4,
+                   help="keyframe cadence in frames for --sim3-loop")
+    m.add_argument("--loop-min-gap", type=int, default=20,
+                   help="min frame separation for a loop candidate")
     m.set_defaults(fn=_cmd_mono)
 
     e = sub.add_parser("eval", help="ATE/RPE + KITTI devkit-style errors "

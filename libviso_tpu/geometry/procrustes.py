@@ -105,6 +105,96 @@ def ransac_rigid_motion(key, A, B, valid=None, num_hypotheses=100,
     return T_refit, final_mask, jnp.sum(final_mask)
 
 
+def solve_similarity(A, B, weights=None):
+    """Weighted Umeyama: find s, R, t minimizing sum w |s R b + t - a|^2.
+
+    The Sim(3) extension of :func:`solve_rigid_motion` (same convention:
+    the returned transform maps the second cloud onto the first,
+    ``T @ B ~= A``, with the scale folded into the rotation block —
+    geometry/sim3.py's matrix form).  This is the monocular loop-scale
+    estimator: two visits to the same place carry landmark clouds in
+    DIFFERENT drifted scale units, and the alignment's ``s`` measures
+    exactly that ratio — observable even at the near-zero revisit
+    baseline where two-view triangulation of the loop pair degenerates.
+    Beyond-reference (the reference has no mono pose chain,
+    src/viso.cpp:1393-1396; its 3D solver is rigid-only,
+    src/estimation.cpp:29-51).
+
+    Reference: S. Umeyama, "Least-squares estimation of transformation
+    parameters between two point patterns", TPAMI 13(4), 1991.
+
+    Args:
+      A: (..., N, 3) target points.
+      B: (..., N, 3) source points.
+      weights: optional (..., N) nonnegative weights (0 masks out).
+
+    Returns:
+      (..., 4, 4) Sim(3) transform ``[[s R, t], [0, 1]]``.
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    if weights is None:
+        weights = jnp.ones_like(A[..., 0])
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1e-12)
+    mean_a = jnp.sum(A * w, axis=-2, keepdims=True) / wsum
+    mean_b = jnp.sum(B * w, axis=-2, keepdims=True) / wsum
+    Ac = (A - mean_a) * jnp.sqrt(w)
+    Bc = (B - mean_b) * jnp.sqrt(w)
+    C = jnp.einsum("...ni,...nj->...ij", Ac, Bc, precision="highest")
+    U, sv, Vt = jnp.linalg.svd(C)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision="highest"))
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    D = jnp.zeros_like(U).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    D = D.at[..., 2, 2].set(det)
+    R = jnp.matmul(jnp.matmul(U, D, precision="highest"), Vt,
+                   precision="highest")
+    # Umeyama: s = trace(diag(sv) D) / sum w |b - mean_b|^2
+    var_b = jnp.maximum(jnp.sum(Bc * Bc, axis=(-2, -1)), 1e-12)
+    s = jnp.sum(sv * d, axis=-1) / var_b
+    t = mean_a[..., 0, :] - s[..., None] * jnp.einsum(
+        "...ij,...j->...i", R, mean_b[..., 0, :], precision="highest")
+    top = jnp.concatenate([s[..., None, None] * R, t[..., :, None]],
+                          axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def ransac_similarity(key, A, B, valid=None, num_hypotheses=100,
+                      inlier_thresh=0.1, model_size=3):
+    """RANSAC over Sim(3) alignments, all hypotheses as one vmapped batch.
+
+    Structure of :func:`ransac_rigid_motion` with the Umeyama solver:
+    minimal 3-point samples (a point triple determines a similarity),
+    consensus in the A-frame metric, masked refit on the best support.
+
+    Returns (T_best (4,4) Sim(3), inlier_mask (N,), num_inliers ()).
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    N = A.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), dtype=bool)
+
+    gumbel = jax.random.gumbel(key, (num_hypotheses, N))
+    scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
+    _, sample_idx = topk_auto(scores, model_size)  # (H, model_size)
+
+    T = solve_similarity(A[sample_idx], B[sample_idx])  # (H, 4, 4)
+
+    # _apply's rotation block carries s*R, so residuals are Sim(3)-exact
+    resid = jnp.sum((_apply(T, B[None]) - A[None]) ** 2, axis=-1)
+    inl = (resid < inlier_thresh**2) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+
+    best_mask = inl[best]
+    T_refit = solve_similarity(A, B, weights=best_mask.astype(A.dtype))
+    resid_f = jnp.sum((_apply(T_refit, B) - A) ** 2, axis=-1)
+    final_mask = (resid_f < inlier_thresh**2) & valid
+    return T_refit, final_mask, jnp.sum(final_mask)
+
+
 def solve_rigid_motion_horn(A, B, weights=None, power_iters: int = 14):
     """Closed-form weighted Kabsch via Horn's quaternion method — no SVD.
 

@@ -466,6 +466,22 @@ def run_mono_sequence(frames: Iterable, K,
         state, out = step(state, jnp.asarray(im), jax.random.fold_in(key, t))
         outs.append(out)
 
+    poses, oks, speeds, stats = chain_mono_outputs(outs, mono)
+    return MonoResult(poses=poses, frame_ok=oks, stats=stats,
+                      speeds=speeds)
+
+
+def chain_mono_outputs(outs, mono: MonoConfig):
+    """Chain per-frame MonoOutputs into a trajectory on the host.
+
+    The scale-propagation chain of ``run_mono_sequence`` factored out so
+    other drivers (the Sim(3) loop back-end, pipeline/mono_loop.py) can
+    reuse it unchanged.  Returns ``(poses (T,4,4), frame_ok (T,),
+    speeds (T,), stats list)``; ``speeds[t]`` is the translation
+    magnitude applied at step t (0 on failed frames) — also the unit
+    conversion for step t's landmark depths (MonoState.depth is in
+    units of the step's unit-norm baseline).
+    """
     pose = np.eye(4)
     speed = 1.0
     poses, oks, stats, speeds = [], [], [], []
@@ -499,7 +515,7 @@ def run_mono_sequence(frames: Iterable, K,
             last_span = span
         poses.append(pose.copy())
         oks.append(ok)
-        speeds.append(speed if ok else 0.0)
+        speeds.append(scale_t if ok else 0.0)
         stats.append({
             "frame": t, "ok": ok,
             "num_matches": int(out.num_matches),
@@ -510,5 +526,5 @@ def run_mono_sequence(frames: Iterable, K,
             "span": span,
             "sharpness": float(out.sharpness),
         })
-    return MonoResult(poses=np.stack(poses), frame_ok=np.asarray(oks, bool),
-                      stats=stats, speeds=np.asarray(speeds))
+    return (np.stack(poses), np.asarray(oks, bool),
+            np.asarray(speeds), stats)
