@@ -86,6 +86,11 @@ SURFACE = [
     ("libviso_tpu.utils.metrics", "ate_rmse"),
     ("libviso_tpu.utils.profiling", "time_jitted"),
     ("libviso_tpu.utils.profiling", "profile_frame_step"),
+    # mono Sim(3) back-end (beyond-reference, r5)
+    ("libviso_tpu.geometry.sim3", "sim3_vector_to_matrix"),
+    ("libviso_tpu.geometry.procrustes", "ransac_similarity"),
+    ("libviso_tpu.solvers.pose_graph_sim3", "optimize_sim3_graph"),
+    ("libviso_tpu.pipeline.mono_loop", "run_mono_sim3_loop"),
 ]
 
 
