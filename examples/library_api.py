@@ -62,6 +62,20 @@ mres = run_mono_sequence([l for l, _ in seq.frames], K,
 print(f"mono: solved {int(mres.frame_ok.sum())}/{len(mres.poses) - 1} "
       f"(trajectory up to one global scale)")
 
+# --- mono Sim(3) loop back-end (beyond-reference, r5): same call
+# shape, plus keyframing and scale-drift-aware loop closure (Umeyama
+# landmark-cloud verification + annealed Sim(3) pose graph).  On this
+# short straight drive no revisit exists, so loops=[] and the poses
+# fall back to the open chain — the closure path itself is measured in
+# benchmarks/mono_sim3_battery.py and tests/test_sim3.py.
+from libviso_tpu.pipeline.mono_loop import run_mono_sim3_loop
+
+sres = run_mono_sim3_loop([l for l, _ in seq.frames], K,
+                          cfg=PipelineConfig.mono(), seed=0,
+                          keyframe_every=2, min_gap=3)
+print(f"mono sim3: {len(sres.kf_frames)} keyframes, "
+      f"{len(sres.loops)} loop edges")
+
 # --- multi-stream serving (beyond-reference): S sequences advanced per
 # device dispatch; per-stream results match solo runs (discrete
 # decisions exactly, motions to f32 float noise).
